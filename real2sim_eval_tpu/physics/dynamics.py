@@ -1,0 +1,405 @@
+"""PhysTwin dynamics: checkpoint loading, grasp heuristic, control stepping.
+
+Functional parity with the reference's ``PhysTwinDynamics`` +
+``SpringMassDynamicsModule`` (sim/physics/phystwin.py), redesigned so the
+whole control step — eef trajectory interpolation, grasp state machine,
+substep scan — is one jitted, vmap-able function:
+
+  - the reference's GPU->CPU force readback + python if/else grasp machine
+    (phystwin.py:382-415) becomes branch-free jnp.where logic on device;
+  - the 101-sample scipy interp1d of gripper points (phystwin.py:416-421,
+    robot_pc_transformations.py:190) becomes an SE(3) pose-table lerp;
+  - per-substep gripper mesh refits become finger-pose updates against
+    link-frame SDFs (see spring_mass.py docstring).
+
+Frames: the public state dicts live in the *data/world* frame; internally
+physics runs in the model frame shifted by (0, 0, -table_height)
+(phystwin.py:55-58,83).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..utils import transforms as tf
+from ..utils.mesh import TriMesh
+from . import checkpoints as ckpt_io
+from .sdf import build_sdf_grid
+from .spring_mass import (
+    MeshColliderSet,
+    PhysicsOptions,
+    SpringMassParams,
+    SpringMassState,
+    SubstepControls,
+    make_step_fn,
+)
+from .topology import build_incidence, connect_springs
+
+
+@struct.dataclass
+class GraspState:
+    """Gripper openness hysteresis (phystwin.py:358-359, 382-415)."""
+
+    current_openness: jax.Array   # ()
+    grasped: jax.Array            # () bool
+    initialized: jax.Array        # () bool
+
+    @staticmethod
+    def create(dtype=jnp.float32):
+        return GraspState(
+            current_openness=jnp.asarray(1.0, dtype),
+            grasped=jnp.asarray(False),
+            initialized=jnp.asarray(False),
+        )
+
+
+def grasp_update(
+    state: GraspState,
+    openness_cmd: jax.Array,
+    finger_forces: jax.Array,
+    force_threshold: float,
+    release_threshold: float = 100.0,
+):
+    """Branch-free port of the grasp state machine (phystwin.py:397-415).
+
+    Force filtering note: the reference sums three specific fingertip faces
+    per finger (phystwin.py:390-391, indices tied to mesh face ordering);
+    we accumulate the total contact force per finger instead — during a
+    grasp the contact patch IS those pad faces, so the norm is equivalent
+    up to contact-area scaling, and the threshold stays configurable.
+
+    Returns (openness_start, openness_end, new_state).
+    """
+    current = jnp.where(state.initialized, state.current_openness, openness_cmd)
+    force_norm = jnp.linalg.norm(finger_forces, axis=-1)
+
+    grasped = jnp.where(jnp.all(force_norm < release_threshold),
+                        False, state.grasped)
+    closing = openness_cmd < current
+    strong = jnp.all(force_norm > force_threshold)
+
+    hold = closing & strong                        # establish/hold grasp
+    slip = closing & ~strong & grasped             # grasped but slipping
+    new_current = jnp.where(
+        hold, current,
+        jnp.where(slip, jnp.maximum(openness_cmd, current - 0.05), openness_cmd),
+    )
+    new_grasped = jnp.where(hold, True, grasped)
+
+    openness_start = jnp.clip(current, 0.0, 1.0)
+    openness_end = jnp.clip(new_current, 0.0, 1.0)
+    new_state = GraspState(
+        current_openness=new_current,
+        grasped=new_grasped,
+        initialized=jnp.asarray(True),
+    )
+    return openness_start, openness_end, new_state
+
+
+def make_control_core(opts: PhysicsOptions, force_threshold: float,
+                      has_colliders: bool = True):
+    """Build the jitted per-control-step core.
+
+    core(params, colliders, sm_state, grasp_state,
+         eef_xyz, eef_rot, eef_vel, eef_rot_vel, openness_cmd,
+         finger_centroids) -> (sm_state, grasp_state, openness_end)
+
+    All eef quantities are in the model frame. finger_centroids: (n_f, 3)
+    mesh-frame centroid per finger (for closing-velocity computation,
+    phystwin.py:441-448).
+    """
+    step_fn = make_step_fn(opts, has_colliders=has_colliders)
+    n_sub = opts.num_substeps
+    dt = opts.dt
+
+    def core(params, colliders, sm_state, grasp_state,
+             eef_xyz, eef_rot, eef_vel, eef_rot_vel, openness_cmd,
+             finger_centroids):
+        if opts.use_pusher:
+            o_start = o_end = jnp.asarray(1.0, eef_xyz.dtype)
+            new_grasp = GraspState(
+                current_openness=jnp.asarray(1.0, eef_xyz.dtype),
+                grasped=jnp.asarray(False), initialized=jnp.asarray(True))
+            closing_vel = jnp.zeros((opts.n_fingers, 3), eef_xyz.dtype)
+        else:
+            o_start, o_end, new_grasp = grasp_update(
+                grasp_state, openness_cmd, sm_state.finger_forces, force_threshold)
+            # closing velocity: world-frame finger-centroid displacement over
+            # the openness change, averaged and halved (phystwin.py:441-448)
+            from .spring_mass import _interp_finger_pose
+
+            T0 = _interp_finger_pose(colliders.finger_pose_table, o_start)
+            T1 = _interp_finger_pose(colliders.finger_pose_table, o_end)
+            c0 = jnp.einsum("fij,fj->fi", T0[:, :3, :3], finger_centroids) + T0[:, :3, 3]
+            c1 = jnp.einsum("fij,fj->fi", T1[:, :3, :3], finger_centroids) + T1[:, :3, 3]
+            delta_eef = c1 - c0                               # (n_f, 3) eef frame
+            delta_world = delta_eef @ eef_rot.T               # rotate to world
+            closing_vel = delta_world / (2.0 * dt * n_sub)
+
+        dyn_lin_vel = eef_vel[None] * 0.5 + closing_vel       # (n_f, 3)
+        dyn_omega = -eef_rot_vel * 0.5                        # (3,)
+
+        ctrl = SubstepControls(
+            eef_xyz=eef_xyz, eef_vel=eef_vel, eef_rot=eef_rot,
+            eef_rot_vel=eef_rot_vel,
+            openness_start=o_start, openness_end=o_end,
+            dyn_lin_vel=dyn_lin_vel, dyn_omega=dyn_omega,
+        )
+        new_sm = step_fn(params, colliders, sm_state, ctrl)
+        return new_sm, new_grasp, o_end
+
+    return core
+
+
+class PhysTwinDynamics:
+    """Stateful facade with the reference's API surface
+    (phystwin.py:18-202): ``reset(state, ...) -> aligned_pts``,
+    ``step(state, action) -> next_state``, ``get_state()``, ``compute_fk``.
+
+    State dicts hold jnp arrays (world frame); actions are (n_grippers, 13)
+    cartesian [xyz, rot9, gripper] or (n_grippers, 8) joint [qpos7, gripper].
+    """
+
+    def __init__(self, cfg, exp_root=None, ckpt_path=None, case_name=None,
+                 local_rank: int = 0):
+        self.cfg = cfg
+        self.ckpt_path = ckpt_path or cfg.get("ckpt_path")
+        self.case_name = case_name or cfg.get("case_name")
+        self.dynamics_module = None
+        self._kin_chain = None
+
+    # -- reset ----------------------------------------------------------
+
+    def reset(self, state, init_meshes_dict=None, robot=None,
+              eef_pts_func=None, kin_helper=None, init_eef_xyz=None,
+              pose_obj=None):
+        phys = self.cfg.physics
+        table_height = float(phys.table_height)
+        self.global_translation = np.array([0.0, 0.0, -table_height], np.float32)
+
+        if kin_helper is not None:
+            self._kin_chain = kin_helper.chain
+        self.kin_helper = kin_helper
+        self.init_eef_xyz = (np.zeros((1, 3), np.float32) if init_eef_xyz is None
+                             else np.asarray(init_eef_xyz, np.float32))
+
+        # --- checkpoint load (phystwin.py:230-298) ---------------------
+        data = ckpt_io.load_final_data(f"{self.ckpt_path}/data", self.case_name)
+        object_pts = np.concatenate(
+            [np.asarray(data["object_points"])[0],
+             np.asarray(data["surface_points"]),
+             np.asarray(data["interior_points"])], axis=0).astype(np.float64)
+
+        pose_np = np.asarray(pose_obj, np.float64) if pose_obj is not None else np.eye(4)
+        init_pts_aligned = object_pts @ pose_np[:3, :3].T + pose_np[:3, 3]
+
+        optimal = ckpt_io.load_optimal_params(
+            f"{self.ckpt_path}/experiments_optimization", self.case_name)
+        ckpt_io.apply_optimal_params(phys, optimal)
+        phys.num_substeps = round(1.0 / phys.fps / phys.dt)  # phystwin.py:223
+
+        springs, _ = connect_springs(
+            object_pts, phys.object_radius, phys.object_max_neighbours,
+            rest_points=init_pts_aligned)
+        rest_lengths = np.linalg.norm(
+            init_pts_aligned[springs[:, 0]] - init_pts_aligned[springs[:, 1]],
+            axis=-1).astype(np.float32)
+
+        first = ckpt_io.load_first_order(
+            f"{self.ckpt_path}/experiments", self.case_name)
+        num_object_springs = int(first["num_object_springs"])
+        assert springs.shape[0] == num_object_springs, (
+            f"spring count mismatch: built {springs.shape[0]}, "
+            f"checkpoint {num_object_springs}")
+        spring_Y = np.asarray(first["spring_Y"])[:num_object_springs]
+
+        use_pusher = bool(self.cfg.env["robot"]["use_pusher"])
+        if use_pusher:
+            phys.collide_eef_fric = 0.2  # phystwin.py:305-306
+
+        # --- model frame shift ----------------------------------------
+        init_pts_model = (init_pts_aligned + self.global_translation).astype(np.float32)
+
+        # --- colliders -------------------------------------------------
+        self.robot = robot
+        fingers, finger_table, finger_centroids = (), None, np.zeros((1, 3), np.float32)
+        n_fingers = 0
+        if robot is not None:
+            finger_links = robot.finger_link_names()
+            n_fingers = len(finger_links)
+            fingers = tuple(self._finger_sdf(robot, n) for n in finger_links)
+            finger_table = jnp.asarray(
+                robot.finger_pose_table(finger_links), jnp.float32)
+            finger_centroids = np.stack(
+                [robot.meshes[n].vertices.mean(0) for n in finger_links]
+            ).astype(np.float32)
+
+        statics, static_poses = [], []
+        if init_meshes_dict:
+            for name, mesh in init_meshes_dict.items():
+                shifted = mesh.copy().translated(self.global_translation)
+                statics.append(build_sdf_grid(shifted))
+                static_poses.append(np.eye(4, dtype=np.float32))
+        self.init_meshes = ({k: m.copy().translated(self.global_translation)
+                             for k, m in init_meshes_dict.items()}
+                            if init_meshes_dict else None)
+
+        colliders = MeshColliderSet(
+            fingers=fingers,
+            finger_pose_table=(finger_table if finger_table is not None
+                               else jnp.zeros((1, 101, 4, 4), jnp.float32)),
+            statics=tuple(statics),
+            static_pose=jnp.asarray(
+                np.stack(static_poses) if static_poses
+                else np.zeros((0, 4, 4), np.float32)),
+        )
+        self.colliders = colliders
+        self.finger_centroids = jnp.asarray(finger_centroids)
+
+        # --- params / options -----------------------------------------
+        n = len(init_pts_model)
+        inc_idx, inc_sign = build_incidence(springs, n)
+        self.params = SpringMassParams(
+            springs=jnp.asarray(springs),
+            rest_lengths=jnp.asarray(rest_lengths),
+            spring_Y_log=jnp.asarray(np.log(np.maximum(spring_Y, 1e-12)), jnp.float32),
+            masses=jnp.ones((n,), jnp.float32),
+            inc_idx=jnp.asarray(inc_idx),
+            inc_sign=jnp.asarray(inc_sign),
+            collision_mask=jnp.arange(n, dtype=jnp.int32),
+            rest_x=jnp.asarray(init_pts_model),
+            collide_elas=jnp.asarray(float(np.asarray(first["collide_elas"]).ravel()[0])),
+            collide_fric=jnp.asarray(float(np.asarray(first["collide_fric"]).ravel()[0])),
+            collide_eef_elas=jnp.asarray(float(phys.collide_eef_elas)),
+            collide_eef_fric=jnp.asarray(float(phys.collide_eef_fric)),
+            collide_self_elas=jnp.asarray(
+                float(np.asarray(first["collide_object_elas"]).ravel()[0])),
+            collide_self_fric=jnp.asarray(
+                float(np.asarray(first["collide_object_fric"]).ravel()[0])),
+        )
+        self.opts = PhysicsOptions(
+            dt=float(phys.dt),
+            num_substeps=int(phys.num_substeps),
+            fps=float(phys.fps),
+            dashpot_damping=float(phys.dashpot_damping),
+            drag_damping=float(phys.drag_damping),
+            spring_Y_min=float(phys.spring_Y_min),
+            spring_Y_max=float(phys.spring_Y_max),
+            collision_dist=float(phys.collision_dist),
+            reverse_factor=-1.0 if phys.reverse_z else 1.0,
+            self_collision=bool(phys.self_collision),
+            use_pusher=use_pusher,
+            n_fingers=max(n_fingers, 1),
+        )
+        self.sm_state = SpringMassState(
+            x=jnp.asarray(init_pts_model),
+            v=jnp.zeros((n, 3), jnp.float32),
+            finger_forces=jnp.zeros((self.opts.n_fingers, 3), jnp.float32),
+        )
+        self.grasp_state = GraspState.create()
+        self._core = jax.jit(make_control_core(
+            self.opts, float(phys.grasp_force_threshold),
+            has_colliders=bool(fingers or statics)))
+
+        # keep copies for get_state (phystwin.py:188-202)
+        self.init_springs = jnp.asarray(springs)
+        self.init_rest_lengths = jnp.asarray(rest_lengths)
+        self.init_spring_Y = jnp.asarray(spring_Y, jnp.float32)
+
+        return jnp.asarray(init_pts_aligned, jnp.float32)
+
+    _sdf_cache: dict = {}
+
+    def _finger_sdf(self, robot, link_name):
+        key = (str(robot.urdf_path), link_name)
+        if key not in PhysTwinDynamics._sdf_cache:
+            PhysTwinDynamics._sdf_cache[key] = build_sdf_grid(robot.meshes[link_name])
+        return PhysTwinDynamics._sdf_cache[key]
+
+    # -- step -----------------------------------------------------------
+
+    def step(self, state, action):
+        """One 30 Hz control step (phystwin.py:104-171)."""
+        fps = self.opts.fps
+        action = jnp.asarray(action, jnp.float32)
+        eef_xyz = jnp.asarray(state["eef_xyz"], jnp.float32)      # (n_g, 3)
+        eef_quat = jnp.asarray(state["eef_quat"], jnp.float32)    # (n_g, 4)
+        eef_rot = tf.quat_to_rot(eef_quat)
+
+        if action.shape[-1] == 13:
+            mode = "xyz_rot"
+            eef_xyz_next = action[..., :3]
+            eef_rot_next = action[..., 3:12].reshape(-1, 3, 3)
+            eef_gripper_next = action[..., 12:]
+            eef_quat_next = tf.rot_to_quat(eef_rot_next)
+        elif action.shape[-1] == 8:
+            mode = "joint"
+            eef_xyz_next, eef_quat_next = self.compute_fk(action[:, :-1])
+            eef_gripper_next = 1.0 - action[:, -1:]
+            eef_rot_next = tf.quat_to_rot(eef_quat_next)
+        else:
+            raise NotImplementedError(f"action dim {action.shape[-1]}")
+
+        g = jnp.asarray(self.global_translation)
+        exyz = eef_xyz + g
+        exyz_next = eef_xyz_next + g
+        eef_vel = (exyz_next - exyz) * fps
+        eef_rot_delta = eef_rot @ jnp.linalg.inv(eef_rot_next)
+        eef_rot_vel = tf.rot_to_axis_angle(eef_rot_delta) * fps   # (n_g, 3)
+
+        x0 = self.sm_state.x
+        self.sm_state, self.grasp_state, openness_end = self._core(
+            self.params, self.colliders, self.sm_state, self.grasp_state,
+            exyz[0], eef_rot[0], eef_vel[0], eef_rot_vel[0],
+            eef_gripper_next.reshape(-1)[0], self.finger_centroids)
+
+        x_pred = self.sm_state.x - g
+        v_pred = (self.sm_state.x - x0) * fps
+
+        next_state = {
+            "current_openness": openness_end.reshape(1),
+            "x": x_pred,
+            "v": v_pred,
+            "eef_xyz": eef_xyz_next,
+            "eef_vel": eef_vel,
+            "eef_quat": eef_quat_next,
+            "eef_quat_vel": eef_rot_vel,
+            "eef_gripper": eef_gripper_next,
+        }
+        if mode == "joint":
+            next_state["qpos"] = action
+        return next_state
+
+    def compute_fk(self, joint_commands):
+        """(n_g, 7) joint positions -> eef xyz + wxyz quat via JAX FK."""
+        assert self._kin_chain is not None, "reset() with kin_helper first"
+        chain = self._kin_chain
+        eef_idx = chain.link_index("link7")
+        T = jax.vmap(lambda q: chain.fk_link(q, eef_idx))(
+            jnp.asarray(joint_commands, jnp.float32))
+        return T[:, :3, 3], tf.rot_to_quat(T[:, :3, :3])
+
+    def get_state(self):
+        static_meshes = ([{"vertices": m.vertices, "faces": m.faces}
+                          for m in self.init_meshes.values()]
+                         if self.init_meshes else [])
+        return {
+            "init_springs": self.init_springs,
+            "init_rest_lengths": self.init_rest_lengths,
+            "init_spring_Y": self.init_spring_Y,
+            "static_meshes": static_meshes,
+        }
+
+    @property
+    def current_points(self):
+        return self.sm_state.x
+
+    @property
+    def current_velocities(self):
+        return self.sm_state.v

@@ -1,0 +1,171 @@
+"""Differential-free Gaussian-splat rasterization: forward RGB + median depth.
+
+Two backends with identical semantics (checked against each other in tests):
+
+  - ``reference``: dense O(N*H*W) jnp compositor — exact, used for tests
+    and tiny scenes.
+  - ``pallas``: tile-binned front-to-back compositor as a Pallas TPU kernel.
+    Tiles are (8, 128) pixels — the native VPU register shape — instead of
+    the CUDA kernel's 16x16 (forward.cu BLOCK_X/Y, config.h:15-16): on TPU
+    any smaller block wastes lanes, and wider tiles reduce the duplicated
+    pair count.
+
+Compositing semantics match renderCUDA (forward.cu:262-394):
+  - alpha = min(0.99, opacity * exp(power)), skip below 1/255
+  - front-to-back accumulation, pixel freezes when T would drop below 1e-4
+    (that contribution excluded, matching the CUDA ``done`` flag)
+  - median depth: the first splat whose blend crosses T=0.5, else 15.0
+    (forward.cu:309,369-373)
+  - final color C + T * background (forward.cu:391)
+
+The renderer is forward-only: the reference wraps every render in
+``torch.no_grad`` (gs_renderer.py:923,952,1018), so the CUDA backward pass
+is dead weight we deliberately do not carry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .binning import bin_gaussians
+from .camera import Camera
+from .preprocess import preprocess_gaussians
+
+MEDIAN_DEPTH_DEFAULT = 15.0
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+ALPHA_MAX = 0.99
+
+TILE_H = 8
+TILE_W = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    backend: str = "auto"              # auto | pallas | reference
+    max_pairs_factor: float = 4.0      # pair buffer = factor * N
+    max_tiles_per_gaussian: int = 32
+    chunk: int = 256                   # gaussians per DMA chunk in the kernel
+    interpret: bool = False            # run the Pallas kernel interpreted
+
+
+def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
+              sh_degree: int, bg=(0.0, 0.0, 0.0),
+              config: RasterConfig = RasterConfig()):
+    """Render one camera. Returns (rgb (3,H,W) in [0,1]-ish, depth (H,W)).
+
+    ``bg`` must be a static python tuple/list (it is compiled into the
+    kernel, matching the reference's per-call bg color)."""
+    pre = preprocess_gaussians(cam, w2c, means3d, scales, quats, opacities,
+                               shs, sh_degree)
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+    backend = config.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "reference"
+    if backend == "reference":
+        return _composite_reference(cam, pre, jnp.asarray(bg, jnp.float32))
+    return _composite_pallas(cam, pre, bg, config)
+
+
+# ---------------------------------------------------------------------------
+# reference (dense) backend
+# ---------------------------------------------------------------------------
+
+
+def _composite_reference(cam: Camera, pre: dict, bg: jax.Array):
+    from .preprocess import tile_rect
+
+    h, w = cam.height, cam.width
+    n_tiles_x = -(-w // TILE_W)
+    n_tiles_y = -(-h // TILE_H)
+    order = jnp.argsort(jnp.where(pre["valid"], pre["depth"], jnp.inf))
+    xy = pre["xy"][order]
+    conic = pre["conic"][order]
+    opac = jnp.where(pre["valid"], pre["opacity"], 0.0)[order]
+    rgb = pre["rgb"][order]
+    depth = pre["depth"][order]
+    x0, y0, x1, y1 = tile_rect(pre["xy"], pre["radius"],
+                               n_tiles_x, n_tiles_y, TILE_W, TILE_H)
+    x0, y0, x1, y1 = x0[order], y0[order], x1[order], y1[order]
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    tile_x = (jnp.arange(w) // TILE_W)[None, :]
+    tile_y = (jnp.arange(h) // TILE_H)[:, None]
+
+    def body(carry, g):
+        T, C, D, done = carry
+        dx = xy[g, 0] - xs
+        dy = xy[g, 1] - ys
+        power = (-0.5 * (conic[g, 0] * dx * dx + conic[g, 2] * dy * dy)
+                 - conic[g, 1] * dx * dy)
+        alpha = jnp.minimum(ALPHA_MAX, opac[g] * jnp.exp(power))
+        # exact tile-rect gating, identical to the binned backend
+        inside = ((tile_x >= x0[g]) & (tile_x < x1[g])
+                  & (tile_y >= y0[g]) & (tile_y < y1[g]))
+        alpha = jnp.where((power <= 0.0) & inside, alpha, 0.0)
+        alpha_ok = alpha >= ALPHA_MIN
+        test_T = T * (1.0 - alpha)
+        would_done = alpha_ok & (test_T < T_EPS)
+        contrib = alpha_ok & ~would_done & ~done
+        aT = jnp.where(contrib, alpha * T, 0.0)
+        C = C + aT[..., None] * rgb[g]
+        D = jnp.where(contrib & (T > 0.5) & (test_T < 0.5), depth[g], D)
+        T = jnp.where(contrib, test_T, T)
+        done = done | would_done
+        return (T, C, D, done), None
+
+    T0 = jnp.ones((h, w), jnp.float32)
+    C0 = jnp.zeros((h, w, 3), jnp.float32)
+    D0 = jnp.full((h, w), MEDIAN_DEPTH_DEFAULT, jnp.float32)
+    done0 = jnp.zeros((h, w), bool)
+    (T, C, D, _), _ = jax.lax.scan(body, (T0, C0, D0, done0),
+                                   jnp.arange(xy.shape[0]))
+    img = C + T[..., None] * bg
+    return jnp.moveaxis(img, -1, 0), D
+
+
+# ---------------------------------------------------------------------------
+# pallas backend
+# ---------------------------------------------------------------------------
+
+
+def _composite_pallas(cam: Camera, pre: dict, bg: tuple,
+                      config: RasterConfig):
+    from .tile_kernel import pack_pair_table, rasterize_tiles
+
+    h, w = cam.height, cam.width
+    n = pre["xy"].shape[0]
+    n_tiles_x = -(-w // TILE_W)
+    n_tiles_y = -(-h // TILE_H)
+    max_pairs = int(config.max_pairs_factor * n)
+    max_pairs = -(-max_pairs // config.chunk) * config.chunk  # chunk-align
+
+    bins = bin_gaussians(pre, n_tiles_x, n_tiles_y, TILE_W, TILE_H,
+                         max_pairs, config.max_tiles_per_gaussian)
+
+    # pre-gather sorted pair data:
+    # [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth]
+    order = bins["order"]
+    safe = jnp.minimum(order, n - 1)
+    gathered = jnp.concatenate([
+        pre["xy"][safe],
+        pre["conic"][safe],
+        pre["opacity"][safe, None],
+        pre["rgb"][safe],
+        pre["depth"][safe, None],
+    ], axis=-1).astype(jnp.float32)
+    # invalidate padding pairs (order == n): zero opacity kills them
+    gathered = jnp.where((order < n)[:, None], gathered, 0.0)
+    data = pack_pair_table(gathered)
+
+    rgb_pad, depth_pad = rasterize_tiles(
+        data, bins["tile_starts"], bins["tile_ends"],
+        n_tiles_x, n_tiles_y, chunk=config.chunk, bg=bg,
+        interpret=config.interpret)
+    return rgb_pad[:, :h, :w], depth_pad[:h, :w]

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: per-tile front-to-back splat compositing.
+
+The TPU counterpart of ``renderCUDA``
+(reference: cuda_rasterizer/forward.cu:262-394). Design mapping:
+
+  CUDA                               TPU / Pallas
+  ----------------------------------------------------------------------
+  one thread block per 16x16 tile    one grid step per (8, 128) tile
+  shared-memory batches of 256       VMEM scratch chunks DMA'd from HBM
+  per-thread pixel registers         (8, 128) VPU blocks for T/C/D/done
+  __syncthreads_count early-out      while_loop stops when max(T) < eps
+  collected_* gather by point_list   pre-gathered sorted pair table (host
+                                     side jnp gather -> contiguous DMAs)
+
+Pair-table layout: HBM DMA slices must be 128-lane aligned, so the sorted
+pair table packs EIGHT gaussians per (128,) row — 16 lanes each:
+[x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth, pad x6].
+The inner loop walks rows (dynamic sublane index) and unrolls the 8
+gaussians at static lane offsets, which also amortizes scalar-load cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import ALPHA_MAX, ALPHA_MIN, MEDIAN_DEPTH_DEFAULT, T_EPS, TILE_H, TILE_W
+
+GPR = 8          # gaussians per row
+ATTR = 16        # lanes per gaussian
+
+
+def pack_pair_table(gathered: jax.Array) -> jax.Array:
+    """(P, attrs<=16) f32 -> (P/8, 128), P padded to a multiple of 8."""
+    p, a = gathered.shape
+    data = jnp.pad(gathered, ((0, (-p) % GPR), (0, ATTR - a)))
+    return data.reshape(-1, GPR * ATTR)
+
+
+def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
+            n_tiles_x: int, chunk_rows: int, n_rows: int, bg):
+    t = pl.program_id(0)
+    ty = t // n_tiles_x
+    tx = t % n_tiles_x
+
+    start = starts_ref[t]
+    end = ends_ref[t]
+
+    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          ).astype(jnp.float32)
+    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          ).astype(jnp.float32)
+
+    chunk_g = chunk_rows * GPR
+    n_chunks = pl.cdiv(n_rows, chunk_rows)
+
+    def scoped(scratch, sem):
+        def chunk_cond(carry):
+            c, T, Cr, Cg, Cb, D, done = carry
+            # done carried as f32 (Mosaic cannot carry i1 vectors here)
+            live = jnp.max(T * (1.0 - done)) >= T_EPS
+            return (c * chunk_g < end) & (c < n_chunks) & live
+
+        def chunk_body(carry):
+            c, T, Cr, Cg, Cb, D, done = carry
+            cp = pltpu.make_async_copy(
+                data_hbm.at[pl.ds(c * chunk_rows, chunk_rows), :],
+                scratch, sem)
+            cp.start()
+            cp.wait()
+            row_lo = jnp.maximum((start - c * chunk_g) // GPR, 0)
+            row_hi = jnp.minimum(pl.cdiv(end - c * chunk_g, GPR), chunk_rows)
+
+            def row_body(jr, inner):
+                T, Cr, Cg, Cb, D, done = inner
+                g_base = c * chunk_g + jr * GPR
+                for jm in range(GPR):  # static lane offsets
+                    o = jm * ATTR
+                    gx = scratch[jr, o + 0]
+                    gy = scratch[jr, o + 1]
+                    ca = scratch[jr, o + 2]
+                    cb = scratch[jr, o + 3]
+                    cc = scratch[jr, o + 4]
+                    op = scratch[jr, o + 5]
+                    in_range = (g_base + jm >= start) & (g_base + jm < end)
+                    dx = gx - px
+                    dy = gy - py
+                    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+                    alpha = jnp.where((power <= 0.0) & in_range, alpha, 0.0)
+                    alpha_ok = alpha >= ALPHA_MIN
+                    test_T = T * (1.0 - alpha)
+                    would_done = alpha_ok & (test_T < T_EPS)
+                    contrib = alpha_ok & (~would_done) & (done < 0.5)
+                    aT = jnp.where(contrib, alpha * T, 0.0)
+                    Cr = Cr + aT * scratch[jr, o + 6]
+                    Cg = Cg + aT * scratch[jr, o + 7]
+                    Cb = Cb + aT * scratch[jr, o + 8]
+                    D = jnp.where(contrib & (T > 0.5) & (test_T < 0.5),
+                                  scratch[jr, o + 9], D)
+                    T = jnp.where(contrib, test_T, T)
+                    done = jnp.maximum(done, jnp.where(would_done, 1.0, 0.0))
+                return T, Cr, Cg, Cb, D, done
+
+            T, Cr, Cg, Cb, D, done = jax.lax.fori_loop(
+                row_lo, row_hi, row_body, (T, Cr, Cg, Cb, D, done))
+            return c + 1, T, Cr, Cg, Cb, D, done
+
+        shape = (TILE_H, TILE_W)
+        init = ((start // chunk_g).astype(jnp.int32),
+                jnp.ones(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.full(shape, MEDIAN_DEPTH_DEFAULT, jnp.float32),
+                jnp.zeros(shape, jnp.float32))
+        _, T, Cr, Cg, Cb, D, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, init)
+
+        rgb_ref[0] = Cr + T * bg[0]
+        rgb_ref[1] = Cg + T * bg[1]
+        rgb_ref[2] = Cb + T * bg[2]
+        depth_ref[:] = D
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((chunk_rows, GPR * ATTR), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
+                                             "chunk", "bg", "interpret"))
+def rasterize_tiles(data, tile_starts, tile_ends, n_tiles_x, n_tiles_y,
+                    chunk, bg, interpret=False):
+    """data: (n_rows, 128) packed pair table (pack_pair_table); returns
+    (rgb (3, Hpad, Wpad), depth (Hpad, Wpad))."""
+    n_rows = data.shape[0]
+    chunk_rows = max(chunk // GPR, 8)
+    if n_rows % chunk_rows:
+        data = jnp.pad(data, ((0, chunk_rows - n_rows % chunk_rows), (0, 0)))
+        n_rows = data.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y
+    h_pad = n_tiles_y * TILE_H
+    w_pad = n_tiles_x * TILE_W
+
+    kernel = functools.partial(_kernel, n_tiles_x=n_tiles_x,
+                               chunk_rows=chunk_rows, n_rows=n_rows, bg=bg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((3, TILE_H, TILE_W),
+                         lambda t, s, e: (0, t // n_tiles_x, t % n_tiles_x)),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda t, s, e: (t // n_tiles_x, t % n_tiles_x)),
+        ],
+    )
+    rgb, depth = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_starts, tile_ends, data)
+    return rgb, depth

@@ -1,0 +1,176 @@
+"""Rasterizer tests: analytic single-Gaussian goldens (forward.cu semantics)
+and cross-backend equivalence (dense reference vs Pallas-interpret)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from real2sim_eval_tpu.renderer import Camera, RasterConfig, rasterize
+from real2sim_eval_tpu.renderer.preprocess import preprocess_gaussians
+from real2sim_eval_tpu.utils.sh import rgb_to_sh_dc
+
+
+def simple_cam(w=128, h=64, f=60.0):
+    return Camera(width=w, height=h, fx=f, fy=f, cx=w / 2, cy=h / 2,
+                  z_threshold=0.05)
+
+
+def lookdown_w2c():
+    return np.eye(4, dtype=np.float32)  # camera at origin looking +z
+
+
+def single_gaussian(pos=(0.0, 0.0, 1.0), scale=0.05, opacity=0.9,
+                    rgb=(1.0, 0.0, 0.0)):
+    means = jnp.asarray([pos], jnp.float32)
+    scales = jnp.full((1, 3), scale, jnp.float32)
+    quats = jnp.asarray([[1.0, 0, 0, 0]], jnp.float32)
+    opac = jnp.asarray([opacity], jnp.float32)
+    shs = jnp.zeros((1, 1, 3)).at[0, 0].set(rgb_to_sh_dc(jnp.asarray(rgb)))
+    return means, scales, quats, opac, shs
+
+
+class TestPreprocess:
+    def test_projection_center(self):
+        cam = simple_cam()
+        means, scales, quats, opac, shs = single_gaussian((0.0, 0.0, 2.0))
+        pre = preprocess_gaussians(cam, jnp.eye(4), means, scales, quats,
+                                   opac, shs, 0)
+        # on-axis point projects to principal point (ndc2Pix convention:
+        # pixel center = (v+1)*S/2 - 0.5)
+        np.testing.assert_allclose(pre["xy"][0], [cam.cx - 0.5, cam.cy - 0.5],
+                                   atol=1e-4)
+        np.testing.assert_allclose(pre["depth"][0], 2.0, atol=1e-6)
+        assert bool(pre["valid"][0])
+
+    def test_z_threshold_cull(self):
+        cam = simple_cam()
+        means, scales, quats, opac, shs = single_gaussian((0.0, 0.0, 0.04))
+        pre = preprocess_gaussians(cam, jnp.eye(4), means, scales, quats,
+                                   opac, shs, 0)
+        assert not bool(pre["valid"][0])
+        assert float(pre["radius"][0]) == 0.0
+
+    def test_behind_camera_cull(self):
+        cam = simple_cam()
+        means, scales, quats, opac, shs = single_gaussian((0.0, 0.0, -1.0))
+        pre = preprocess_gaussians(cam, jnp.eye(4), means, scales, quats,
+                                   opac, shs, 0)
+        assert not bool(pre["valid"][0])
+
+    def test_isotropic_cov2d_radius(self):
+        cam = simple_cam(f=100.0)
+        s, z = 0.1, 2.0
+        means, scales, quats, opac, shs = single_gaussian((0, 0, z), scale=s)
+        pre = preprocess_gaussians(cam, jnp.eye(4), means, scales, quats,
+                                   opac, shs, 0)
+        # isotropic on-axis: cov2d = (f*s/z)^2 + 0.3 in both axes
+        var = (cam.fx * s / z) ** 2 + 0.3
+        expected_radius = np.ceil(3 * np.sqrt(var))
+        np.testing.assert_allclose(pre["radius"][0], expected_radius)
+        # conic = 1/var on the diagonal
+        np.testing.assert_allclose(pre["conic"][0, 0], 1 / var, rtol=1e-4)
+        np.testing.assert_allclose(pre["conic"][0, 1], 0.0, atol=1e-6)
+
+    def test_offcenter_principal_point(self):
+        cam = Camera(width=100, height=80, fx=50, fy=50, cx=30, cy=50)
+        means, scales, quats, opac, shs = single_gaussian((0.0, 0.0, 1.0))
+        pre = preprocess_gaussians(cam, jnp.eye(4), means, scales, quats,
+                                   opac, shs, 0)
+        np.testing.assert_allclose(pre["xy"][0], [29.5, 49.5], atol=1e-4)
+
+
+class TestReferenceCompositor:
+    def test_single_gaussian_center_alpha(self):
+        cam = simple_cam()
+        means, scales, quats, opac, shs = single_gaussian(
+            (0.0, 0.0, 1.0), scale=0.2, opacity=0.8, rgb=(1.0, 0.5, 0.25))
+        rgb, depth = rasterize(cam, jnp.eye(4), means, scales, quats, opac,
+                               shs, 0, config=RasterConfig(backend="reference"))
+        # at the splat center alpha = opacity (exp(0)=1), color = alpha*rgb
+        cy, cx = cam.height // 2, cam.width // 2
+        np.testing.assert_allclose(rgb[:, cy, cx], 0.8 * np.array([1.0, 0.5, 0.25]),
+                                   atol=0.02)
+        # median depth crosses T=0.5 at the center -> splat depth
+        np.testing.assert_allclose(depth[cy, cx], 1.0, atol=1e-5)
+
+    def test_empty_scene_is_background(self):
+        cam = simple_cam()
+        means, scales, quats, opac, shs = single_gaussian((0, 0, -5.0))
+        rgb, depth = rasterize(cam, jnp.eye(4), means, scales, quats, opac,
+                               shs, 0, bg=(0.2, 0.3, 0.4),
+                               config=RasterConfig(backend="reference"))
+        np.testing.assert_allclose(rgb[0], 0.2, atol=1e-6)
+        np.testing.assert_allclose(rgb[1], 0.3, atol=1e-6)
+        np.testing.assert_allclose(depth, 15.0)  # forward.cu:309 default
+
+    def test_front_to_back_occlusion(self):
+        cam = simple_cam()
+        means = jnp.asarray([[0, 0, 1.0], [0, 0, 2.0]], jnp.float32)
+        scales = jnp.full((2, 3), 0.3, jnp.float32)
+        quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1))
+        opac = jnp.asarray([0.99, 0.99], jnp.float32)
+        shs = jnp.zeros((2, 1, 3))
+        shs = shs.at[0, 0].set(rgb_to_sh_dc(jnp.asarray([1.0, 0.0, 0.0])))
+        shs = shs.at[1, 0].set(rgb_to_sh_dc(jnp.asarray([0.0, 1.0, 0.0])))
+        rgb, depth = rasterize(cam, jnp.eye(4), means, scales, quats, opac,
+                               shs, 0, config=RasterConfig(backend="reference"))
+        cy, cx = cam.height // 2, cam.width // 2
+        assert float(rgb[0, cy, cx]) > 0.95          # front red dominates
+        assert float(rgb[1, cy, cx]) < 0.05
+        np.testing.assert_allclose(depth[cy, cx], 1.0, atol=1e-5)
+
+    def test_median_depth_semantics(self):
+        """Low-alpha front splat: T crosses 0.5 only at the second splat."""
+        cam = simple_cam()
+        means = jnp.asarray([[0, 0, 1.0], [0, 0, 2.0]], jnp.float32)
+        scales = jnp.full((2, 3), 0.5, jnp.float32)
+        quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1))
+        opac = jnp.asarray([0.3, 0.95], jnp.float32)  # front translucent
+        shs = jnp.zeros((2, 1, 3))
+        rgb, depth = rasterize(cam, jnp.eye(4), means, scales, quats, opac,
+                               shs, 0, config=RasterConfig(backend="reference"))
+        cy, cx = cam.height // 2, cam.width // 2
+        np.testing.assert_allclose(depth[cy, cx], 2.0, atol=1e-5)
+
+
+class TestPallasBackendEquivalence:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_scene_matches_reference(self, seed):
+        rng = np.random.default_rng(seed)
+        n = 60
+        cam = simple_cam(w=256, h=64, f=80.0)
+        means = jnp.asarray(np.stack([
+            rng.uniform(-1.0, 1.0, n),
+            rng.uniform(-0.4, 0.4, n),
+            rng.uniform(0.5, 3.0, n)], -1), jnp.float32)
+        scales = jnp.asarray(rng.uniform(0.01, 0.08, (n, 3)), jnp.float32)
+        q = rng.normal(size=(n, 4))
+        quats = jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True),
+                            jnp.float32)
+        opac = jnp.asarray(rng.uniform(0.1, 1.0, n), jnp.float32)
+        shs = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 1, 3)), jnp.float32)
+
+        ref_rgb, ref_depth = rasterize(
+            cam, jnp.eye(4), means, scales, quats, opac, shs, 0,
+            bg=(0.1, 0.2, 0.3), config=RasterConfig(backend="reference"))
+        pal_rgb, pal_depth = rasterize(
+            cam, jnp.eye(4), means, scales, quats, opac, shs, 0,
+            bg=(0.1, 0.2, 0.3),
+            config=RasterConfig(backend="pallas", interpret=True,
+                                max_pairs_factor=8.0,
+                                max_tiles_per_gaussian=16))
+        np.testing.assert_allclose(np.asarray(pal_rgb), np.asarray(ref_rgb),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(pal_depth), np.asarray(ref_depth),
+                                   atol=1e-3)
+
+    def test_wide_image_padding_cropped(self):
+        cam = simple_cam(w=200, h=50)  # not multiples of tile dims
+        means, scales, quats, opac, shs = single_gaussian((0, 0, 1.0), 0.1)
+        rgb, depth = rasterize(cam, jnp.eye(4), means, scales, quats, opac,
+                               shs, 0,
+                               config=RasterConfig(backend="pallas",
+                                                   interpret=True))
+        assert rgb.shape == (3, 50, 200)
+        assert depth.shape == (50, 200)

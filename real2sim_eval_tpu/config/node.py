@@ -25,10 +25,27 @@ class ConfigNode:
 
     # -- access ------------------------------------------------------------
     def __getattr__(self, key: str) -> Any:
+        # guard against copy/pickle protocols probing dunders on a
+        # not-yet-initialized instance (would recurse through _data)
+        if key.startswith("__") or key == "_data":
+            raise AttributeError(key)
         try:
-            return self._data[key]
+            data = object.__getattribute__(self, "_data")
+        except AttributeError:
+            raise AttributeError(key)
+        try:
+            return data[key]
         except KeyError:
             raise AttributeError(f"config has no key {key!r}")
+
+    def __reduce__(self):
+        return (ConfigNode, (self.to_dict(),))
+
+    def __deepcopy__(self, memo):
+        return ConfigNode(self.to_dict())
+
+    def __copy__(self):
+        return ConfigNode(self.to_dict())
 
     def __setattr__(self, key: str, value: Any) -> None:
         self._data[key] = _wrap(value)

@@ -1,0 +1,116 @@
+"""Linear-blend-skinning motion interpolation (sim particles -> Gaussians).
+
+JAX port of the reference's ``interpolate_motions``
+(sim/utils/gs/transform_utils.py:58-212) and its kNN weight builders
+(gs_renderer.py:195-211, 286-300):
+
+  - per-bone rigid fit of the local neighborhood motion via batched
+    Procrustes. The reference's chain of rank-2/rank-1/ipdb fallbacks
+    (transform_utils.py:85-161) collapses into the branch-free Kabsch
+    correction R = U diag(1,1,det(UV^T)) V^T, which returns the nearest
+    rotation for ALL ranks (for rank-1 neighborhoods the answer is not
+    unique; Kabsch picks a valid representative, where the reference
+    hand-constructs one).
+  - distance-weighted blend of per-bone SE(3)s over each particle's
+    k nearest bones.
+
+Weights/relations are precomputed once per episode on frozen rest bones
+(cfg.physics.precompute_relations, gs_renderer.py:733-739) so the hot loop
+is pure gathers + small matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import transforms as tf
+
+K_REL = 8       # bone-graph neighbours (gs_renderer.py:34)
+K_WGT = 16      # bones blended per particle (gs_renderer.py:35)
+K_REL_SIMPLE = 16
+
+
+def knn_relations(bones: jax.Array, k: int = K_REL) -> jax.Array:
+    """(n_bones, k) nearest-neighbour indices, excluding self."""
+    d = jnp.linalg.norm(bones[:, None] - bones[None], axis=-1)
+    d = d + jnp.eye(bones.shape[0], dtype=d.dtype) * jnp.inf
+    _, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32)
+
+
+def knn_weights(bones: jax.Array, pts: jax.Array, k: int = K_WGT,
+                chunk: int = 4096):
+    """Per-particle inverse-distance weights over the k nearest bones
+    (gs_renderer.py:202-211). Chunked over particles to bound the
+    (chunk, n_bones) distance matrix.
+    Returns (weights (N, k), indices (N, k))."""
+    n = pts.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    pts_p = jnp.pad(pts, ((0, n_pad - n), (0, 0)))
+
+    def one_chunk(p):
+        d = jnp.linalg.norm(p[:, None] - bones[None], axis=-1)
+        negd, idx = jax.lax.top_k(-d, k)
+        w = 1.0 / (-negd + 1e-6)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        return w, idx.astype(jnp.int32)
+
+    w, idx = jax.lax.map(one_chunk, pts_p.reshape(-1, chunk, 3))
+    return w.reshape(n_pad, k)[:n], idx.reshape(n_pad, k)[:n]
+
+
+def fit_bone_rotations(bones, motions, relations):
+    """Per-bone rotation from neighborhood displacement (Procrustes)."""
+    adj = bones[relations] - bones[:, None]                     # (B, k, 3)
+    adj_new = adj + (motions[relations] - motions[:, None])     # (B, k, 3)
+    F = jnp.einsum("bki,bkj->bij", adj_new, adj)                # (B, 3, 3)
+    U, _, Vt = jnp.linalg.svd(F)
+    det = jnp.linalg.det(U @ Vt)
+    S = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
+    R = (U * S[:, None, :]) @ Vt
+    return R
+
+
+def interpolate_motions(bones, motions, relations, weights, weights_indices,
+                        xyz, quat=None):
+    """Move gaussians by blended per-bone rigid transforms.
+
+    Args:
+      bones: (B, 3) rest bone (sim particle) positions.
+      motions: (B, 3) bone displacements this frame.
+      relations: (B, k_rel) bone-graph neighbours.
+      weights/weights_indices: (N, k_wgt) blend weights + bone ids.
+      xyz: (N, 3) gaussian centers; quat: optional (N, 4) wxyz.
+    Returns (xyz_new, quat_new_or_None).
+    """
+    R = fit_bone_rotations(bones, motions, relations)           # (B, 3, 3)
+
+    b_sel = bones[weights_indices]                              # (N, k, 3)
+    m_sel = motions[weights_indices]                            # (N, k, 3)
+    R_sel = R[weights_indices]                                  # (N, k, 3, 3)
+    local = xyz[:, None] - b_sel                                # (N, k, 3)
+    moved = jnp.einsum("nkij,nkj->nki", R_sel, local) + b_sel + m_sel
+    xyz_new = jnp.sum(moved * weights[..., None], axis=1)
+
+    if quat is None:
+        return xyz_new, None
+    base_q = tf.rot_to_quat(R)                                  # (B, 4)
+    q_sel = base_q[weights_indices]                             # (N, k, 4)
+    q_blend = tf.quat_normalize(jnp.sum(q_sel * weights[..., None], axis=1))
+    quat_new = tf.quat_multiply(q_blend, quat)
+    return xyz_new, quat_new
+
+
+def simple_weights(bones: jax.Array, pts: jax.Array, k: int = K_REL_SIMPLE,
+                   chunk: int = 4096):
+    """The non-LBS path (gs_renderer.py:286-300): pure inverse-distance
+    blend of bone positions (no rotations). Same (weights, indices) layout."""
+    return knn_weights(bones, pts, k=k, chunk=chunk)
+
+
+def simple_apply(weights, indices, bones_pred):
+    """xyz = sum_k w_k * bones_pred[idx_k] (gs_renderer.py:757)."""
+    return jnp.einsum("nk,nkc->nc", weights, bones_pred[indices])

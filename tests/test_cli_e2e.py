@@ -1,0 +1,190 @@
+"""End-to-end CLI tests: replay and eval_policy drive full episodes against
+synthetic assets and must produce the reference's on-disk layout, which the
+success calculators then consume."""
+
+import json
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from real2sim_eval_tpu.config import save_config
+
+from fixtures import (TEST_CAMERAS, full_cfg, make_rope_points,
+                      make_synthetic_scene, write_fixture_checkpoint)
+
+IK_URDF = Path("/root/reference/assets/robots/xarm/xarm7_with_gripper.urdf")
+pytestmark = pytest.mark.skipif(not IK_URDF.exists(),
+                                reason="reference assets unavailable")
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    rope = make_rope_points(n=150, length=0.3)
+    # soft springs: omega*dt_eff must stay < 2 at the coarse test dt
+    write_fixture_checkpoint(root, "rope_test", rope, spring_Y=2e3)
+    gs = make_synthetic_scene(root / "scans", rope_pts=rope,
+                              ik_urdf=str(IK_URDF))
+    cfg = full_cfg(root, "rope_test", gs=gs, cameras=TEST_CAMERAS,
+                   physics_over=dict(dt=2e-4))
+    cfg.exp_root = str(root / "log")
+    cfg.raster_backend = "reference"
+    cfg.timestamp = "testrun"
+    cfg.env.sim.duration = 1  # short episodes
+    cfg.gt_dir = str(root / "gt")
+    cfg.use_qpos = False
+    cfg.randomize = False
+    cfg_dir = root / "cfg"
+    save_config(cfg, cfg_dir / "replay.yaml")
+    cfg.policy = dict(builtin="hold", n_episodes=1,
+                      inference_cfg_path=None, checkpoint_path=None)
+    save_config(cfg, cfg_dir / "eval_policy.yaml")
+    save_config(cfg, cfg_dir / "keyboard_teleop.yaml")
+
+    # a recorded trajectory for replay: descend 5 steps
+    gt_ep = root / "gt" / "robot"
+    gt_ep.mkdir(parents=True)
+    for i in range(5):
+        rec = {
+            "action.ee_pos": [0.2568, 0.0, 0.4005 - 0.005 * i],
+            "action.ee_quat": [0.0, 1.0, 0.0, 0.0],
+            "action.gripper_qpos": [0.0],
+        }
+        with open(gt_ep / f"{i:06d}.json", "w") as f:
+            json.dump(rec, f)
+    return root, cfg_dir
+
+
+def test_replay_cli(workspace):
+    root, cfg_dir = workspace
+    from real2sim_eval_tpu.experiments import replay
+
+    out = replay.cli(["--config-path", str(cfg_dir)])
+    ep = Path(out) / "episode_0000"
+    # reference layout (replay.py:144-149)
+    jpgs = sorted((ep / "camera_0" / "rgb").glob("*.jpg"))
+    assert len(jpgs) == 6  # 5 steps + final frame
+    assert (ep / "calibration" / "intrinsics.npy").exists()
+    assert (ep / "robot" / "000000.json").exists()
+    assert (Path(out) / "start_images" / "episode_0000_camera_0.jpg").exists()
+    assert (Path(out) / "final_images" / "episode_0000_camera_1.jpg").exists()
+    assert (Path(out) / "hydra.yaml").exists()
+    intr = np.load(ep / "calibration" / "intrinsics.npy")
+    assert intr.shape == (2, 3, 3)
+    # the replayed action reached the env: eef descended
+    with open(ep / "robot" / "000004.json") as f:
+        last = json.load(f)
+    assert last["obs.ee_pos"][2] < 0.4005
+    # physics stayed finite through stabilization + replay
+    with open(sorted((ep / "state").glob("*.pkl"))[-1], "rb") as f:
+        final_state = pickle.load(f)
+    assert np.isfinite(final_state["renderer"]["x"]).all(), "physics blew up"
+
+
+def test_eval_policy_cli_and_success_calc(workspace):
+    root, cfg_dir = workspace
+    from real2sim_eval_tpu.experiments import eval_policy
+
+    out = eval_policy.cli(["--config-path", str(cfg_dir)])
+    ep = Path(out) / "episode_0000"
+    states = sorted((ep / "state").glob("*.pkl"))
+    assert len(states) == 30  # fps * duration
+    with open(states[0], "rb") as f:
+        s0 = pickle.load(f)
+    assert "physics" in s0 and "renderer" in s0
+    assert isinstance(s0["renderer"]["x"], np.ndarray)
+    with open(states[1], "rb") as f:
+        s1 = pickle.load(f)
+    assert "physics" not in s1  # space saving (eval_policy.py:209-213)
+    assert (ep / "random_variables.json").exists()
+
+    # success calculator consumes the dumps end-to-end
+    from real2sim_eval_tpu.experiments.utils.success import (
+        evaluate_episodes, is_rope_success)
+
+    results = evaluate_episodes(out, is_rope_success, start_step=0,
+                                frames_required=1)
+    assert results == [False]  # hold policy doesn't route the rope
+
+
+def test_teleop_programmatic(workspace):
+    root, cfg_dir = workspace
+    from real2sim_eval_tpu.config import load_config
+    from real2sim_eval_tpu.experiments.keyboard_teleop import (
+        InteractivePlayground, KeySource)
+
+    cfg = load_config(cfg_dir, "keyboard_teleop")
+    keys = KeySource()
+    for k in "wwwq":  # move +x 3 steps, +z 1
+        keys.push(k)
+    pg = InteractivePlayground(cfg, key_source=keys, max_steps=3, show=False)
+    obs = pg.run()
+    eef = np.asarray(obs["robot"]["eef_xyz"][0])
+    assert eef[0] > 0.2568  # moved +x
+
+
+class TestSuccessCriteria:
+    def test_rope_crossings_counting(self):
+        from real2sim_eval_tpu.experiments.utils.success import (
+            segment_crossings_y_plane)
+
+        # 200 segments straight through the plane y=0 inside the rect
+        p0 = np.tile([[0.62, -0.1, 0.01]], (200, 1))
+        p1 = np.tile([[0.62, 0.1, 0.01]], (200, 1))
+        n = segment_crossings_y_plane(p0, p1, 0.0, (0.6, 0.64), (0.0, 0.03))
+        assert n == 200
+        # outside the rect -> no crossings
+        n = segment_crossings_y_plane(p0 + [1, 0, 0], p1 + [1, 0, 0],
+                                      0.0, (0.6, 0.64), (0.0, 0.03))
+        assert n == 0
+
+    def test_sloth_obb(self):
+        from real2sim_eval_tpu.experiments.utils.success import (
+            minimal_obb, points_in_obb)
+        from real2sim_eval_tpu.utils.mesh import make_box
+
+        box = make_box((0.2, 0.13, 0.27), center=(0.5, 0.1, 0.0))
+        # rotate the box to exercise the PCA axes
+        import jax.numpy as jnp
+
+        from real2sim_eval_tpu.utils import transforms as tf
+
+        R = np.asarray(tf.axis_angle_to_rot(jnp.asarray([0.0, 0.0, 0.7])))
+        T = np.eye(4)
+        T[:3, :3] = R
+        box.transform(T)
+        center, axes, extent = minimal_obb(box.vertices)
+        np.testing.assert_allclose(sorted(extent), sorted([0.2, 0.13, 0.27]),
+                                   atol=1e-6)
+        inside_pts = box.vertices.mean(0)[None] + np.zeros((4000, 3))
+        assert points_in_obb(inside_pts, center, axes, extent) == 4000
+
+    def test_pusht_mse(self):
+        from real2sim_eval_tpu.experiments.utils.success import is_pusht_success
+
+        x = np.random.default_rng(0).random((100, 3))
+        init = {"physics": {"static_meshes": []}}
+        assert is_pusht_success({"renderer": {"x": x}}, x, init)
+        assert not is_pusht_success(
+            {"renderer": {"x": x + 0.1}}, x, init)
+
+
+def test_create_rigid_phystwin_roundtrip(tmp_path):
+    from real2sim_eval_tpu.experiments.utils.create_rigid_phystwin import (
+        create_rigid_phystwin)
+    from real2sim_eval_tpu.physics import checkpoints as ckpt_io
+    from real2sim_eval_tpu.utils.mesh import make_box
+
+    mesh = make_box((0.06, 0.06, 0.06))
+    points, springs = create_rigid_phystwin(
+        mesh, tmp_path, "boxcase", spring_radius=0.05, max_neighbours=30,
+        grid_size=0.015, n_surface=300)
+    assert len(points) > 50
+    assert len(springs) > len(points)
+    # loadable by the checkpoint reader with matching spring count
+    data = ckpt_io.load_final_data(tmp_path / "data", "boxcase")
+    first = ckpt_io.load_first_order(tmp_path / "experiments", "boxcase")
+    assert data["object_points"].shape[1] == len(points)
+    assert first["num_object_springs"] == len(springs)

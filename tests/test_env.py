@@ -21,7 +21,8 @@ pytestmark = pytest.mark.skipif(not IK_URDF.exists(),
 def env_setup(tmp_path_factory):
     root = tmp_path_factory.mktemp("env")
     rope = make_rope_points(n=200, length=0.3)
-    write_fixture_checkpoint(root, "rope_test", rope)
+    # soft springs: omega*dt_eff must stay < 2 at the coarse test dt
+    write_fixture_checkpoint(root, "rope_test", rope, spring_Y=2e3)
     gs = make_synthetic_scene(root / "scans", rope_pts=rope,
                               ik_urdf=str(IK_URDF))
     cfg = full_cfg(root, "rope_test", gs=gs, cameras=TEST_CAMERAS,
@@ -89,6 +90,7 @@ class TestEpisode:
         assert float(obs2["robot"]["eef_xyz"][0, 2]) < 0.4005
         # state dump shape for success calculators
         dump = env.unwrapped.get_state()
+        assert np.isfinite(dump["renderer"]["x"]).all(), "physics blew up"
         assert dump["renderer"]["x"].shape == (200, 3)
         assert dump["physics"]["init_springs"].ndim == 2
         assert len(dump["physics"]["static_meshes"]) == 1

@@ -33,14 +33,16 @@ class BaseEnv(gym.Env):
     def reset(self, *, seed=None, options=None):
         super().reset(seed=None, options=options)
         np.random.seed(seed)
+        skip_obs = bool(options and options.get("skip_obs"))
         self.renderer.load_scaniverse(randomize=self.randomize, index=seed)
         self.renderer.set_all_cameras()
-        self.renderer.reset_state(visualize_image=False)
+        self.renderer.reset_state(visualize_image=False, skip_compose=skip_obs)
 
         state = self.renderer.get_state()
         phystwin_pts = self.physics.reset(
             state,
-            init_meshes_dict=self.renderer.meshes,
+            init_meshes_dict=self.renderer.meshes_canonical,
+            mesh_poses=self.renderer.mesh_poses,
             robot=self.renderer.robot,
             eef_pts_func=self.renderer.eef_pts_func,
             kin_helper=_KinAdapter(self.renderer),
@@ -48,6 +50,8 @@ class BaseEnv(gym.Env):
             pose_obj=self.renderer.pose_obj,
         )
         self.renderer.update_phystwin_pts(phystwin_pts)
+        if options and options.get("skip_obs"):
+            return None, {}  # asset-building resets (batched eval) skip renders
         return self.get_obs(), {}
 
     def get_obs(self, render_extra: bool = False):

@@ -1,0 +1,151 @@
+"""Batched policy evaluation: B episodes in lockstep on one chip or a mesh.
+
+The TPU-native successor of the reference's multi-GPU fan-out
+(experiments/eval_policy_parallel.py): where the reference forks one OS
+process per GPU and rebuilds env+policy per episode (:242-293), here a
+single jitted step advances all B randomized episodes, the policy runs on
+stacked observations, and per-episode artifacts are written host-side from
+gathered arrays. On a multi-chip mesh the batch is sharded over the ``env``
+axis (parallel/mesh.py) — XLA partitions the step with zero communication.
+
+Usage:
+  python -m real2sim_eval_tpu.experiments.eval_policy_batched \\
+      gs=rope policy.builtin=hold batch_size=16
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import save_config
+from ..parallel import BatchedEvaluator, make_env_mesh, shard_batch
+from ..utils import transforms as tf
+from .cli import hydra_like_main, raster_config_from, run_name_for
+from .episode_io import EpisodeWriter
+from .eval_policy import n_grid_episodes
+from .policy_api import load_policy
+from .utils.dir_utils import mkdir
+
+
+def actions_from_policy(cartesian: np.ndarray, use_pusher: bool) -> np.ndarray:
+    """(B, 8) policy output -> (B, 13) sim actions (eval_policy.py:183-221)."""
+    B = cartesian.shape[0]
+    if use_pusher:
+        rot = np.tile(np.diag([1.0, -1.0, -1.0]).astype(np.float32).reshape(-1),
+                      (B, 1))
+        grip = np.ones((B, 1), np.float32)  # always open in sim space
+        return np.concatenate([cartesian[:, :3], rot, grip], axis=1)
+    rot = np.asarray(tf.quat_to_rot(jnp.asarray(cartesian[:, 3:7])))
+    grip = 1.0 - cartesian[:, 7:8]
+    return np.concatenate([cartesian[:, :3], rot.reshape(B, -1), grip],
+                          axis=1).astype(np.float32)
+
+
+def main(cfg):
+    if bool(cfg.gs.get("use_grid_randomization", False)):
+        n_episodes = n_grid_episodes(cfg)
+    else:
+        n_episodes = int(cfg.policy.n_episodes)
+    batch_size = min(int(cfg.get("batch_size", 16)), n_episodes)
+    start = int(cfg.get("episode_start", 0))
+
+    run_name = run_name_for(cfg)
+    out_path = Path(cfg.exp_root) / "output_eval_policy" / run_name
+    mkdir(out_path, resume=True, interactive=False)
+    save_config(cfg, out_path / "hydra.yaml")
+
+    frame_rate = int(cfg.physics.fps)
+    duration = int(cfg.env.sim.duration)
+    n_steps = frame_rate * duration
+    use_pusher = bool(cfg.env.robot.use_pusher)
+
+    mesh = make_env_mesh() if len(jax.devices()) > 1 else None
+
+    for batch_start in range(start, n_episodes, batch_size):
+        episode_ids = list(range(batch_start,
+                                 min(batch_start + batch_size, n_episodes)))
+        print(f"Batch {episode_ids[0]}..{episode_ids[-1]} "
+              f"({len(episode_ids)} episodes)")
+        ev = BatchedEvaluator(cfg, episode_ids,
+                              raster_config=raster_config_from(cfg))
+        if mesh is not None and len(episode_ids) % len(jax.devices()) == 0:
+            ev.state = shard_batch(ev.state, mesh)
+        policy = load_policy(cfg.policy)
+
+        writers = []
+        for lane, ep in enumerate(episode_ids):
+            w = EpisodeWriter(out_path, ep, cfg.env.cameras)
+            w.write_calibration()
+            w.write_random_variables(ev.random_variables[lane])
+            writers.append(w)
+
+        # stabilization: hold the reset pose for 1 s (eval_policy.py:124-126)
+        g = np.asarray(ev.state.grippers)
+        rot0 = np.asarray(tf.quat_to_rot(jnp.asarray(g[:, 6:10])))
+        hold = np.concatenate(
+            [g[:, :3], rot0.reshape(len(episode_ids), -1), g[:, 13:14]], axis=1)
+        for _ in range(30):
+            ev.step(jnp.asarray(hold), do_velocity_control=False)
+
+        for cnt in range(n_steps):
+            t0 = time.perf_counter()
+            obs = ev.observations()
+            images = np.asarray(obs["images"])
+            wrist = np.asarray(obs["wrist_images"])
+            state_vec = np.asarray(obs["observation.state"])
+
+            for lane, w in enumerate(writers):
+                lane_obs = {
+                    "image_list": list(images[lane]),
+                    "image_wrist_list": list(wrist[lane]),
+                }
+                w.write_images(lane_obs, cnt,
+                               start_final="start" if cnt == 0 else None)
+
+            if use_pusher:
+                policy_state = state_vec[:, :2]
+            else:
+                policy_state = state_vec
+            cartesian = np.asarray(policy.inference({
+                "observation.state": policy_state,
+                "observation.images.front": images[:, 0],
+                "observation.images.wrist":
+                    wrist[:, 0] if wrist.shape[1] else None,
+            }))
+            if cartesian.shape[0] == 1 and len(episode_ids) > 1:
+                cartesian = np.tile(cartesian, (len(episode_ids), 1))
+
+            dumps = ev.get_state_dumps()
+            for lane, w in enumerate(writers):
+                w.write_robot(cnt, state_vec[lane, :3], state_vec[lane, 3:7],
+                              state_vec[lane, 7:8], cartesian[lane, :3],
+                              cartesian[lane, 3:7], cartesian[lane, 7:8])
+                w.write_state(cnt, dumps[lane])
+
+            actions = actions_from_policy(cartesian, use_pusher)
+            ev.step(jnp.asarray(actions))
+            dt = time.perf_counter() - t0
+            print(f"step {cnt}: {dt:.3f}s "
+                  f"({len(episode_ids) / max(dt, 1e-9):.1f} env-steps/s)")
+
+        obs = ev.observations()
+        images = np.asarray(obs["images"])
+        wrist = np.asarray(obs["wrist_images"])
+        for lane, w in enumerate(writers):
+            w.write_images({"image_list": list(images[lane]),
+                            "image_wrist_list": list(wrist[lane])},
+                           n_steps, start_final="final")
+            w.finalize_videos(frame_rate)
+        policy.reset()
+    return out_path
+
+
+cli = hydra_like_main("eval_policy_batched")(main)
+
+if __name__ == "__main__":
+    cli()

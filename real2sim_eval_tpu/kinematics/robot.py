@@ -55,9 +55,11 @@ class RobotModel:
             if link_names is not None and link.name not in link_names:
                 continue
             if link.collision_meshes:
-                fname, scale, origin = link.collision_meshes[0]
+                spec, scale, origin = link.collision_meshes[0]
                 prev_offset = origin
-                mesh = load_mesh(self.urdf.root_dir / fname)
+                from ..utils.urdf import resolve_geometry
+
+                mesh = resolve_geometry(spec, self.urdf.root_dir)
                 if scale != 1.0:
                     mesh.scale(scale)
                 self.meshes[link.name] = mesh

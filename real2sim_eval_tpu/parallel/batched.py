@@ -1,0 +1,395 @@
+"""Batched (vmapped) episode evaluation on one chip or a device mesh.
+
+The TPU-native replacement for the reference's multi-GPU fan-out
+(experiments/eval_policy_parallel.py:242-293): instead of one OS process per
+GPU re-building the env per episode, B randomized episodes share one set of
+scene assets and step in lockstep inside a single jitted function.
+
+Key structural fact exploited: grid/uniform randomization moves the object
+and attached meshes RIGIDLY (gs_renderer.py:342-405). Under a rigid
+transform, spring topology, rest lengths, resting pairs, LBS weights and
+relations are all invariant — so every per-episode quantity except poses
+and dynamic state is shared, and per-env memory is O(particles), not
+O(gaussians).
+
+Layout:
+  shared   : splat attribute arrays, spring tables, SDF grids, LBS weights
+  per-env  : object pose delta (4,4), static mesh poses, particle x/v,
+             grasp state, 14-wide eef rows
+
+The policy step runs on stacked (B, ...) observations; artifact writing
+gathers to host per env.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..kinematics import make_ik_fn
+from ..physics.dynamics import GraspState, make_control_core
+from ..physics.spring_mass import SpringMassParams, SpringMassState, MeshColliderSet
+from ..renderer import lbs as lbs_mod
+from ..renderer.camera import Camera, setup_camera, wrist_w2c_jax
+from ..renderer.raster import RasterConfig, rasterize
+from ..utils import transforms as tf
+
+
+@struct.dataclass
+class BatchedState:
+    sm: SpringMassState           # leaves (B, ...)
+    grasp: GraspState             # leaves (B,)
+    grippers: jax.Array           # (B, 14)
+    qpos7: jax.Array              # (B, 7) current IK arm pose
+    rel_pose: jax.Array           # (B, 4, 4) object pose delta vs env 0
+    static_pose: jax.Array        # (B, M, 4, 4)
+    rest_x: jax.Array             # (B, N, 3)
+    step: jax.Array               # () int
+
+
+class BatchedEvaluator:
+    """Build once from a cfg + episode id list, then step/render batched."""
+
+    def __init__(self, cfg, episode_ids, raster_config: RasterConfig | None = None,
+                 max_render_gaussians: int | None = None):
+        import real2sim_eval_tpu.envs as envs
+
+        self.cfg = cfg
+        self.episode_ids = list(episode_ids)
+        B = len(self.episode_ids)
+        self.raster_config = raster_config or RasterConfig()
+
+        env = envs.make(cfg.env_name, max_episode_steps=10 ** 9, cfg=cfg,
+                        randomize=True, exp_root=cfg.get("exp_root", "log"),
+                        raster_config=self.raster_config)
+        self._env = env
+
+        rest_x, sm_x, static_poses, rel_poses, grippers, rvars = \
+            [], [], [], [], [], []
+        self._static_mesh_dumps = []
+        pose0_inv = None
+        for i, ep in enumerate(self.episode_ids):
+            env.reset(seed=ep, options={"skip_obs": True})
+            phys = env.unwrapped.physics
+            rend = env.unwrapped.renderer
+            self._static_mesh_dumps.append(
+                [{"vertices": m.vertices.copy(), "faces": m.faces.copy()}
+                 for m in phys.init_meshes.values()] if phys.init_meshes else [])
+            pose = np.asarray(phys.colliders.static_pose) \
+                if len(phys.colliders.statics) else np.zeros((0, 4, 4), np.float32)
+            obj_pose = np.asarray(rend.pose_obj, np.float64)
+            if i == 0:
+                pose0_inv = np.linalg.inv(obj_pose)
+                self.params = phys.params
+                self.colliders = phys.colliders
+                self.opts = phys.opts
+                self.finger_centroids = phys.finger_centroids
+                self.global_translation = phys.global_translation
+                self.force_threshold = float(cfg.physics.grasp_force_threshold)
+                self._snapshot_scene(rend)
+            rest_x.append(np.asarray(phys.params.rest_x))
+            sm_x.append(np.asarray(phys.sm_state.x))
+            static_poses.append(pose)
+            rel_poses.append((obj_pose @ pose0_inv).astype(np.float32))
+            grippers.append(np.asarray(rend.grippers[0]))
+            rvars.append(list(rend.random_variables))
+        self.random_variables = rvars
+
+        n = sm_x[0].shape[0]
+        self.state = BatchedState(
+            sm=SpringMassState(
+                x=jnp.asarray(np.stack(sm_x)),
+                v=jnp.zeros((B, n, 3), jnp.float32),
+                finger_forces=jnp.zeros((B, self.opts.n_fingers, 3), jnp.float32),
+            ),
+            grasp=GraspState(
+                current_openness=jnp.ones((B,), jnp.float32),
+                grasped=jnp.zeros((B,), bool),
+                initialized=jnp.zeros((B,), bool),
+            ),
+            grippers=jnp.asarray(np.stack(grippers)),
+            qpos7=jnp.tile(jnp.asarray(self._qpos0, jnp.float32)[None], (B, 1)),
+            rel_pose=jnp.asarray(np.stack(rel_poses)),
+            static_pose=jnp.asarray(np.stack(static_poses)),
+            rest_x=jnp.asarray(np.stack(rest_x)),
+            step=jnp.asarray(0),
+        )
+        self._build_fns()
+
+    # ------------------------------------------------------------------
+
+    def _snapshot_scene(self, rend):
+        """Shared scene arrays from episode 0 (canonical frame = episode 0)."""
+        rv = rend.rendervar
+        self.obj_means0 = jnp.asarray(rv["means3D"])
+        self.obj_quats0 = jnp.asarray(rv["rotations"])
+        self.obj_shs = jnp.asarray(rv["shs"])
+        self.obj_scales = jnp.asarray(rv["scales"])
+        self.obj_opac = jnp.asarray(rv["opacities"])
+
+        self.bones0 = jnp.asarray(rend.state["x"])
+        self.relations = lbs_mod.knn_relations(self.bones0)
+        self.weights = lbs_mod.knn_weights(self.bones0, self.obj_means0)
+
+        self.table = {k: jnp.asarray(v) for k, v in rend.table_rendervar.items()}
+        self.mask = jnp.asarray(rend.total_mask_full)
+        self.articulation = rend.articulation
+        self.mesh_params = {k: {kk: jnp.asarray(vv) for kk, vv in p.items()}
+                            for k, p in rend.params_meshes.items()}
+        self._qpos0 = rend.qpos_curr_xarm[:7]
+        self.use_shs = bool(rend.cfg.gs.get("use_shs", False))
+
+        self.cameras = list(rend.cameras)
+        self.wrist_cameras = list(rend.wrist_cameras)
+        self._ik = make_ik_fn(rend.sample_robot.chain,
+                              rend.sample_robot.chain.link_index("link7"),
+                              n_active=7)
+        self._chain = rend.sample_robot.chain
+        self._fps = float(self.cfg.physics.fps)
+
+    # ------------------------------------------------------------------
+
+    def _build_fns(self):
+        opts = self.opts
+        core = make_control_core(opts, self.force_threshold,
+                                 has_colliders=bool(
+                                     self.colliders.fingers
+                                     or self.colliders.statics))
+        params0 = self.params
+        colliders0 = self.colliders
+        centroids = self.finger_centroids
+        g_trans = jnp.asarray(self.global_translation)
+        fps = self._fps
+
+        def env_step(rest_x, static_pose, sm, grasp, grippers, action):
+            params = params0.replace(rest_x=rest_x)
+            colliders = colliders0.replace(static_pose=static_pose)
+
+            eef_xyz = grippers[:3]
+            eef_quat = grippers[6:10]
+            eef_rot = tf.quat_to_rot(eef_quat)
+            eef_xyz_next = action[:3]
+            eef_rot_next = action[3:12].reshape(3, 3)
+            openness_cmd = action[12]
+
+            exyz = eef_xyz + g_trans
+            exyz_next = eef_xyz_next + g_trans
+            eef_vel = (exyz_next - exyz) * fps
+            rot_delta = eef_rot @ jnp.linalg.inv(eef_rot_next)
+            eef_rot_vel = tf.rot_to_axis_angle(rot_delta) * fps
+
+            x0 = sm.x
+            sm, grasp, openness_end = core(
+                params, colliders, sm, grasp,
+                exyz, eef_rot, eef_vel, eef_rot_vel, openness_cmd, centroids)
+
+            quat_next = tf.rot_to_quat(eef_rot_next)
+            quat_vel = eef_rot_vel
+            new_grippers = jnp.concatenate([
+                eef_xyz_next, eef_vel, quat_next, quat_vel,
+                openness_end[None]])
+            return sm, grasp, new_grippers, (sm.x - x0) * fps
+
+        @jax.jit
+        def step(state: BatchedState, actions: jax.Array) -> BatchedState:
+            sm, grasp, grippers, _ = jax.vmap(env_step)(
+                state.rest_x, state.static_pose, state.sm, state.grasp,
+                state.grippers, actions)
+            return state.replace(sm=sm, grasp=grasp, grippers=grippers,
+                                 step=state.step + 1)
+
+        self._step = step
+
+        # ---------------- frame composition + render -------------------
+        art = self.articulation
+        mask = self.mask
+        table = self.table
+        mesh_params = self.mesh_params
+        obj = (self.obj_means0, self.obj_quats0, self.obj_shs,
+               self.obj_scales, self.obj_opac)
+        bones0 = self.bones0
+        relations = self.relations
+        weights, weights_idx = self.weights
+        sh_deg = (int(np.sqrt(self.obj_shs.shape[1]) - 1)
+                  if self.use_shs else 0)
+        rcfg = self.raster_config
+        ik = self._ik
+
+        def compose(rel_pose, x_pred, grippers, qpos7_prev):
+            means0, quats0, shs0, scales0, opac0 = obj
+            # canonical (env-0-frame) object gaussians -> this env's frame
+            R = rel_pose[:3, :3]
+            t = rel_pose[:3, 3]
+            means = means0 @ R.T + t
+            dq = tf.rot_to_quat(R)
+            quats = tf.quat_multiply(dq[None], quats0)
+            bones = bones0 @ R.T + t
+
+            xyz, _ = lbs_mod.interpolate_motions(
+                bones, x_pred - bones, relations, weights, weights_idx, means)
+
+            # robot splats: IK on the eef pose
+            eef_rot = tf.quat_to_rot(grippers[6:10])
+            target = tf.make_se3(eef_rot, grippers[:3])
+            qpos7 = ik(qpos7_prev, target)[:7]
+            openness_counts = grippers[13] * 800.0
+            q_full = art.full_qpos(qpos7, openness_counts)
+            t_means, t_quats = art.apply(q_full, table["means3D"],
+                                         table["rotations"], mask)
+
+            parts_means = [xyz]
+            parts_shs = [shs0]
+            parts_quats = [quats]
+            parts_opac = [opac0]
+            parts_scales = [scales0]
+            for name, pm in mesh_params.items():
+                parts_means.append(pm["means3D"])
+                parts_shs.append(pm["shs"])
+                parts_quats.append(pm["rotations"])
+                parts_opac.append(pm["opacities"])
+                parts_scales.append(pm["scales"])
+            parts_means.append(t_means)
+            parts_shs.append(table["shs"])
+            parts_quats.append(t_quats)
+            parts_opac.append(table["opacities"])
+            parts_scales.append(table["scales"])
+            scene = {
+                "means3D": jnp.concatenate(parts_means, 0),
+                "shs": jnp.concatenate(parts_shs, 0),
+                "rotations": jnp.concatenate(parts_quats, 0),
+                "opacities": jnp.concatenate(parts_opac, 0),
+                "scales": jnp.concatenate(parts_scales, 0),
+            }
+            return scene, qpos7
+
+        def render_one(scene, cam: Camera, w2c):
+            shs = scene["shs"] if sh_deg > 0 else scene["shs"][:, :1]
+            im, depth = rasterize(cam, w2c, scene["means3D"], scene["scales"],
+                                  scene["rotations"], scene["opacities"],
+                                  shs, sh_deg, config=rcfg)
+            return jnp.clip(im, 0.0, 1.0), depth
+
+        fixed_cams = [(setup_camera(w, h, k, w2c)) for w, h, k, w2c
+                      in self.cameras]
+        wrist_cams = [(Camera(width=w, height=h, fx=float(k[0][0]),
+                              fy=float(k[1][1]), cx=float(k[0][2]),
+                              cy=float(k[1][2])), jnp.asarray(e, jnp.float32))
+                      for w, h, k, e in self.wrist_cameras]
+
+        @jax.jit
+        def render(state: BatchedState):
+            def one_env(args):
+                rel_pose, x_pred, grippers, qpos7 = args
+                scene, qpos_new = compose(rel_pose, x_pred, grippers, qpos7)
+                ims, depths, wims, wdepths = [], [], [], []
+                for cam, w2c in fixed_cams:
+                    im, d = render_one(scene, cam, jnp.asarray(w2c))
+                    ims.append(im)
+                    depths.append(d)
+                eef_rot = tf.quat_to_rot(grippers[6:10])
+                for cam, eef2c in wrist_cams:
+                    w2c = wrist_w2c_jax(eef2c, grippers[:3], eef_rot)
+                    im, d = render_one(scene, cam, w2c)
+                    wims.append(im)
+                    wdepths.append(d)
+                stack = lambda xs: (jnp.stack(xs) if xs
+                                    else jnp.zeros((0, 1, 1)))
+                return (stack(ims), stack(depths), stack(wims), stack(wdepths),
+                        qpos_new)
+
+            return jax.lax.map(one_env, (state.rel_pose, state.sm.x,
+                                         state.grippers, state.qpos7))
+
+        self._render = render
+
+        # velocity-control mimic, batched (gs_renderer.py:1115-1166)
+        chain = self._chain
+        n_dof = chain.n_dof
+        eef_idx = chain.link_index("link7")
+
+        def full_q(q7):
+            if n_dof > 7:
+                return jnp.concatenate([q7, jnp.zeros((n_dof - 7,), q7.dtype)])
+            return q7
+
+        def mimic_one(action, qpos7, gripper_counts):
+            target = tf.make_se3(action[3:12].reshape(3, 3), action[:3])
+            q_sol = ik(qpos7, target)[:7]
+            delta = q_sol - qpos7
+            norm = jnp.linalg.norm(delta)
+            delta = jnp.where(norm > 0.10, delta / jnp.maximum(norm, 1e-9) * 0.10,
+                              delta)
+            v = delta / 0.02 * 0.15
+            new_q = qpos7 + v / 30.0
+            T = chain.fk_link(full_q(new_q), eef_idx)
+            cur_g = gripper_counts / 800.0
+            dg = jnp.clip(action[12] - cur_g, -2.0 / 30.0, 2.0 / 30.0)
+            out = jnp.concatenate([T[:3, 3], T[:3, :3].reshape(-1),
+                                   (cur_g + dg)[None]])
+            return out, new_q
+
+        @jax.jit
+        def mimic(actions, qpos7s, gripper_counts):
+            return jax.vmap(mimic_one)(actions, qpos7s, gripper_counts)
+
+        self._mimic = mimic
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.episode_ids)
+
+    def step(self, actions, do_velocity_control: bool | None = None):
+        """actions: (B, 13) cartesian [xyz, rot9, gripper(sim space)]."""
+        actions = jnp.asarray(actions, jnp.float32)
+        dvc = (bool(self.cfg.env.robot.do_velocity_control)
+               if do_velocity_control is None else do_velocity_control)
+        if dvc:
+            actions, new_q = self._mimic(actions, self.state.qpos7,
+                                         self.state.grippers[:, 13] * 800.0)
+            self.state = self.state.replace(qpos7=new_q)
+        self.state = self._step(self.state, actions)
+        return self.state
+
+    def render(self):
+        """Returns (images (B, C_fixed, 3, H, W), depths, wrist images,
+        wrist depths) and updates the cached IK qpos."""
+        ims, depths, wims, wdepths, qpos_new = self._render(self.state)
+        self.state = self.state.replace(qpos7=qpos_new)
+        return ims, depths, wims, wdepths
+
+    def observations(self):
+        """Batched policy observations (eval_policy.py:165-178 layout)."""
+        ims, depths, wims, wdepths = self.render()
+        g = self.state.grippers
+        return {
+            "observation.state": jnp.concatenate(
+                [g[:, :3], g[:, 6:10], 1.0 - g[:, 13:14]], axis=1),
+            "observation.images.front": ims[:, 0],
+            "observation.images.wrist": (wims[:, 0] if wims.shape[1] > 0
+                                         else None),
+            "images": ims, "depths": depths,
+            "wrist_images": wims, "wrist_depths": wdepths,
+        }
+
+    def particle_states(self) -> np.ndarray:
+        """(B, N, 3) world-frame particles (for success metrics)."""
+        return np.asarray(self.state.sm.x - jnp.asarray(self.global_translation))
+
+    def get_state_dumps(self):
+        """Per-env state dicts in the success calculators' schema."""
+        xs = self.particle_states()
+        springs = np.asarray(self.params.springs)
+        return [{
+            "renderer": {"x": xs[i]},
+            "physics": {"static_meshes": self._static_mesh_dumps[i],
+                        "init_springs": springs},
+        } for i in range(self.batch_size)]

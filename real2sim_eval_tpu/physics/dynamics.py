@@ -178,7 +178,14 @@ class PhysTwinDynamics:
 
     def reset(self, state, init_meshes_dict=None, robot=None,
               eef_pts_func=None, kin_helper=None, init_eef_xyz=None,
-              pose_obj=None):
+              pose_obj=None, mesh_poses=None):
+        """Build per-episode params/colliders/state.
+
+        ``init_meshes_dict`` holds world-posed meshes (reference API). When
+        ``mesh_poses`` (name -> 4x4) is also given, meshes are treated as
+        canonical geometry + pose, letting the SDF grid be built once per
+        asset and shared across randomized episodes (the batched-eval path).
+        """
         phys = self.cfg.physics
         table_height = float(phys.table_height)
         self.global_translation = np.array([0.0, 0.0, -table_height], np.float32)
@@ -204,9 +211,16 @@ class PhysTwinDynamics:
         ckpt_io.apply_optimal_params(phys, optimal)
         phys.num_substeps = round(1.0 / phys.fps / phys.dt)  # phystwin.py:223
 
-        springs, _ = connect_springs(
-            object_pts, phys.object_radius, phys.object_max_neighbours,
-            rest_points=init_pts_aligned)
+        # topology is pose-invariant: cache the KD-tree connection across
+        # randomized episodes of the same checkpoint (rest lengths are
+        # recomputed from the aligned points, which is cheap)
+        topo_key = (str(self.ckpt_path), str(self.case_name),
+                    float(phys.object_radius), int(phys.object_max_neighbours))
+        if topo_key not in PhysTwinDynamics._topology_cache:
+            PhysTwinDynamics._topology_cache[topo_key] = connect_springs(
+                object_pts, phys.object_radius, phys.object_max_neighbours,
+                rest_points=init_pts_aligned)
+        springs, _ = PhysTwinDynamics._topology_cache[topo_key]
         rest_lengths = np.linalg.norm(
             init_pts_aligned[springs[:, 0]] - init_pts_aligned[springs[:, 1]],
             axis=-1).astype(np.float32)
@@ -242,13 +256,32 @@ class PhysTwinDynamics:
 
         statics, static_poses = [], []
         if init_meshes_dict:
+            T_shift = np.eye(4, dtype=np.float32)
+            T_shift[:3, 3] = self.global_translation
             for name, mesh in init_meshes_dict.items():
-                shifted = mesh.copy().translated(self.global_translation)
-                statics.append(build_sdf_grid(shifted))
-                static_poses.append(np.eye(4, dtype=np.float32))
-        self.init_meshes = ({k: m.copy().translated(self.global_translation)
-                             for k, m in init_meshes_dict.items()}
-                            if init_meshes_dict else None)
+                if mesh_poses is not None:
+                    # canonical geometry + pose: shareable SDF
+                    statics.append(self._static_sdf(name, mesh))
+                    static_poses.append(
+                        (T_shift @ np.asarray(mesh_poses[name], np.float64)
+                         ).astype(np.float32))
+                else:
+                    shifted = mesh.copy().translated(self.global_translation)
+                    statics.append(build_sdf_grid(shifted))
+                    static_poses.append(np.eye(4, dtype=np.float32))
+        if init_meshes_dict:
+            if mesh_poses is not None:
+                self.init_meshes = {
+                    k: m.copy().transform(
+                        np.asarray(mesh_poses[k])).translated(
+                            self.global_translation)
+                    for k, m in init_meshes_dict.items()}
+            else:
+                self.init_meshes = {
+                    k: m.copy().translated(self.global_translation)
+                    for k, m in init_meshes_dict.items()}
+        else:
+            self.init_meshes = None
 
         colliders = MeshColliderSet(
             fingers=fingers,
@@ -315,11 +348,21 @@ class PhysTwinDynamics:
         return jnp.asarray(init_pts_aligned, jnp.float32)
 
     _sdf_cache: dict = {}
+    _topology_cache: dict = {}
 
     def _finger_sdf(self, robot, link_name):
         key = (str(robot.urdf_path), link_name)
         if key not in PhysTwinDynamics._sdf_cache:
             PhysTwinDynamics._sdf_cache[key] = build_sdf_grid(robot.meshes[link_name])
+        return PhysTwinDynamics._sdf_cache[key]
+
+    def _static_sdf(self, name, mesh):
+        import hashlib
+
+        key = ("static", name,
+               hashlib.md5(np.ascontiguousarray(mesh.vertices)).hexdigest())
+        if key not in PhysTwinDynamics._sdf_cache:
+            PhysTwinDynamics._sdf_cache[key] = build_sdf_grid(mesh)
         return PhysTwinDynamics._sdf_cache[key]
 
     # -- step -----------------------------------------------------------

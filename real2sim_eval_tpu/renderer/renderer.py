@@ -195,6 +195,8 @@ class GSRenderer:
 
         # --- attached meshes + their splats (gs_renderer.py:352-503) ---
         params_meshes, meshes = {}, {}
+        self.meshes_canonical = {}
+        self.mesh_poses = {}
         for mesh_obj in cfg.gs.get("meshes", []):
             name = mesh_obj["name"]
             mesh = load_mesh(mesh_obj["mesh_path"])
@@ -218,6 +220,8 @@ class GSRenderer:
 
             params = self._load_corrected(mesh_obj["splat_path"], mesh_obj)
             params = transform_params_by_pose(params, pose)
+            self.meshes_canonical[name] = mesh.copy()
+            self.mesh_poses[name] = pose
             mesh.transform(pose)
             params_meshes[name] = params
             meshes[name] = mesh
@@ -301,13 +305,16 @@ class GSRenderer:
     # state (gs_renderer.py:223-331, 1050-1097)
     # ------------------------------------------------------------------
 
-    def reset_state(self, visualize_image: bool = False):
+    def reset_state(self, visualize_image: bool = False,
+                    skip_compose: bool = False):
         xyz0 = np.asarray(self.rendervar["means3D"])
         color0 = np.asarray(self.rendervar["shs"])[:, 0] * C0 + 0.5
         n = min(N_SIM_PARTICLES, len(xyz0))
         self.state["x"] = jnp.asarray(xyz0[:n])
         self.state["v"] = jnp.zeros((n, 3), jnp.float32)
         self.state["color"] = jnp.asarray(color0[:n])
+        if skip_compose:
+            return  # batched eval composes its own frames
         self.update_rendervar()
         if visualize_image:
             im, depth = self.render()

@@ -91,6 +91,72 @@ def read_ply_vertex_table(path: str | Path) -> dict[str, np.ndarray]:
     raise ValueError(f"{path}: no vertex element found")
 
 
+_LOAD_CACHE: dict = {}
+
+# ---------------------------------------------------------------------------
+# optional native fast path (native/ply_loader.cpp via ctypes)
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _native_lib():
+    """Load (and lazily build) the C++ loader; None if unavailable."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import os
+    import subprocess
+
+    if os.environ.get("R2S_NATIVE", "1") == "0":
+        _NATIVE = False
+        return None
+    so = Path(__file__).resolve().parents[2] / "native" / "libr2s_native.so"
+    if not so.exists():
+        try:
+            subprocess.run(["make", "-C", str(so.parent)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            _NATIVE = False
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.ply_probe.restype = ctypes.c_int
+        lib.ply_probe.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_long),
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.c_char_p, ctypes.c_long]
+        lib.ply_read.restype = ctypes.c_int
+        lib.ply_read.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_float)]
+        _NATIVE = lib
+        return lib
+    except OSError:
+        _NATIVE = False
+        return None
+
+
+def _read_vertex_table_native(path) -> dict[str, np.ndarray] | None:
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    n_verts = ctypes.c_long()
+    n_props = ctypes.c_int()
+    names_buf = ctypes.create_string_buffer(16384)
+    p = str(path).encode()
+    if lib.ply_probe(p, ctypes.byref(n_verts), ctypes.byref(n_props),
+                     names_buf, len(names_buf)):
+        return None
+    out = np.empty((n_verts.value, n_props.value), np.float32)
+    if lib.ply_read(p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))):
+        return None
+    names = names_buf.value.decode().split(",")
+    return {name: out[:, i] for i, name in enumerate(names)}
+
+
 def load_gaussian_ply(path: str | Path, max_sh_degree: int = 3) -> dict[str, np.ndarray]:
     """Load a 3DGS PLY into raw (pre-activation) splat parameters.
 
@@ -98,8 +164,17 @@ def load_gaussian_ply(path: str | Path, max_sh_degree: int = 3) -> dict[str, np.
     (gs_processor.py:93-100): means3D (N,3), sh_colors (N, 3*(D+1)^2 laid out
     dc0..2 then f_rest row-major), log_scales (N,3), unnorm_rotations (N,4),
     logit_opacities (N,1). All float32.
+
+    Results are cached by (path, mtime) — scans are re-read every episode
+    reset (gs_renderer.py:336-337) and are large; callers must not mutate
+    the returned arrays (the pipeline copies on transform).
     """
-    t = read_ply_vertex_table(path)
+    key = (str(path), Path(path).stat().st_mtime_ns)
+    if key in _LOAD_CACHE:
+        return _LOAD_CACHE[key]
+    t = _read_vertex_table_native(path)
+    if t is None:
+        t = read_ply_vertex_table(path)
     n = len(t["x"])
     means = np.stack([t["x"], t["y"], t["z"]], axis=-1).astype(np.float32)
 
@@ -119,13 +194,15 @@ def load_gaussian_ply(path: str | Path, max_sh_degree: int = 3) -> dict[str, np.
     rots = np.stack([t[f"rot_{i}"] for i in range(4)], axis=-1).astype(np.float32)
     opac = np.asarray(t["opacity"], dtype=np.float32)[:, None]
 
-    return {
+    out = {
         "means3D": means,
         "sh_colors": sh,
         "log_scales": scales,
         "unnorm_rotations": rots,
         "logit_opacities": opac,
     }
+    _LOAD_CACHE[key] = out
+    return out
 
 
 def sh_colors_to_coeffs(sh_colors: np.ndarray) -> np.ndarray:

@@ -26,7 +26,39 @@ from pathlib import Path
 
 import numpy as np
 
-from .mesh import TriMesh, load_mesh
+from .mesh import TriMesh, load_mesh, make_box, make_sphere
+
+
+def resolve_geometry(spec, root_dir: Path) -> TriMesh:
+    """A collision-geometry spec -> TriMesh. Spec is a mesh filename or a
+    primitive tuple ('box', size) / ('sphere', r) / ('cylinder', r, l)."""
+    if isinstance(spec, str):
+        return load_mesh(Path(root_dir) / spec)
+    kind = spec[0]
+    if kind == "box":
+        return make_box(spec[1])
+    if kind == "sphere":
+        return make_sphere(spec[1])
+    if kind == "cylinder":
+        r, ln = spec[1], spec[2]
+        import numpy as _np
+
+        n = 24
+        ang = _np.linspace(0, 2 * _np.pi, n, endpoint=False)
+        ring = _np.stack([r * _np.cos(ang), r * _np.sin(ang)], -1)
+        bot = _np.concatenate([ring, _np.full((n, 1), -ln / 2)], -1)
+        top = _np.concatenate([ring, _np.full((n, 1), ln / 2)], -1)
+        verts = _np.concatenate([bot, top,
+                                 [[0, 0, -ln / 2]], [[0, 0, ln / 2]]], 0)
+        faces = []
+        cb, ct = 2 * n, 2 * n + 1
+        for i in range(n):
+            j = (i + 1) % n
+            faces += [[i, j, n + i], [j, n + j, n + i],      # side
+                      [cb, j, i], [ct, n + i, n + j]]        # caps
+        return TriMesh(verts.astype(_np.float32),
+                       _np.asarray(faces, _np.int32))
+    raise ValueError(f"unknown geometry spec {spec!r}")
 
 
 def _parse_floats(text: str | None, default: str) -> np.ndarray:
@@ -106,8 +138,8 @@ class UrdfModel:
         link = self.links[self.link_index(link_name)]
         if not link.collision_meshes:
             return None
-        path, scale, origin = link.collision_meshes[0]
-        mesh = load_mesh(self.root_dir / path)
+        spec, scale, origin = link.collision_meshes[0]
+        mesh = resolve_geometry(spec, self.root_dir)
         if scale != 1.0:
             mesh.scale(scale)
         return mesh, origin
@@ -142,6 +174,23 @@ def load_urdf(path: str | Path) -> UrdfModel:
                         scale_attr = mesh_el.get("scale")
                         scale = float(scale_attr.split()[0]) if scale_attr else 1.0
                         store.append((fname, scale, origin))
+                        continue
+                    # primitive geometry -> synthesized mesh spec
+                    box = geom.find("box")
+                    if box is not None:
+                        size = _parse_floats(box.get("size"), "0.1 0.1 0.1")
+                        store.append((("box", tuple(size)), 1.0, origin))
+                        continue
+                    sph = geom.find("sphere")
+                    if sph is not None:
+                        r = float(sph.get("radius", "0.05"))
+                        store.append((("sphere", r), 1.0, origin))
+                        continue
+                    cyl = geom.find("cylinder")
+                    if cyl is not None:
+                        r = float(cyl.get("radius", "0.05"))
+                        ln = float(cyl.get("length", "0.1"))
+                        store.append((("cylinder", r, ln), 1.0, origin))
             links.append(link)
         elif elem.tag == "joint":
             j = UrdfJoint(

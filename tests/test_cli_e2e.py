@@ -11,6 +11,7 @@ import pytest
 
 from real2sim_eval_tpu.config import save_config
 
+from real2sim_eval_tpu.testing import reference_xarm_urdf
 from fixtures import (TEST_CAMERAS, full_cfg, make_rope_points,
                       make_synthetic_scene, write_fixture_checkpoint)
 
@@ -27,7 +28,7 @@ def workspace(tmp_path_factory):
     write_fixture_checkpoint(root, "rope_test", rope, spring_Y=2e3)
     gs = make_synthetic_scene(root / "scans", rope_pts=rope,
                               ik_urdf=str(IK_URDF))
-    cfg = full_cfg(root, "rope_test", gs=gs, cameras=TEST_CAMERAS,
+    cfg = full_cfg(root, "rope_test", gs=gs, cameras=TEST_CAMERAS, urdf=reference_xarm_urdf(),
                    physics_over=dict(dt=2e-4))
     cfg.exp_root = str(root / "log")
     cfg.raster_backend = "reference"

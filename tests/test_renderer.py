@@ -15,6 +15,7 @@ from real2sim_eval_tpu.renderer.scene import (correct_sh_colors,
 from real2sim_eval_tpu.utils.sh import C0
 from real2sim_eval_tpu.utils import transforms as tf
 
+from real2sim_eval_tpu.testing import reference_xarm_urdf
 from fixtures import (TEST_CAMERAS, full_cfg, make_rope_points,
                       make_synthetic_scene, write_fixture_checkpoint)
 
@@ -116,7 +117,7 @@ class TestGSRendererFacade:
     def setup(self, tmp_path_factory):
         root = tmp_path_factory.mktemp("scene")
         gs = make_synthetic_scene(root / "scans", ik_urdf=str(IK_URDF))
-        cfg = full_cfg(root, "rope_test", gs=gs, cameras=TEST_CAMERAS)
+        cfg = full_cfg(root, "rope_test", gs=gs, cameras=TEST_CAMERAS, urdf=reference_xarm_urdf())
         from real2sim_eval_tpu.renderer import GSRenderer, RasterConfig
 
         r = GSRenderer(cfg, raster_config=RasterConfig(backend="reference"))
@@ -208,7 +209,7 @@ class TestGSRendererFacade:
 def test_grid_randomization_episode_indexing(tmp_path):
     gs = make_synthetic_scene(tmp_path / "scans", ik_urdf=str(IK_URDF))
     gs["use_grid_randomization"] = True
-    cfg = full_cfg(tmp_path, "rope_test", gs=gs, cameras=TEST_CAMERAS)
+    cfg = full_cfg(tmp_path, "rope_test", gs=gs, cameras=TEST_CAMERAS, urdf=reference_xarm_urdf())
     from real2sim_eval_tpu.renderer import GSRenderer, RasterConfig
 
     r = GSRenderer(cfg, raster_config=RasterConfig(backend="reference"))

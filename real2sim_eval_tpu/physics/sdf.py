@@ -96,7 +96,15 @@ def _vertex_normals(mesh: TriMesh) -> np.ndarray:
 
 
 def sdf_query(grid: SdfGrid, pts: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Trilinear SDF value + finite-difference normal at query points.
+    """Trilinear SDF value + analytic trilinear gradient at query points.
+
+    TPU note: this is the innermost hot op of the contact path (called per
+    collider per substep). All eight cell corners come from ONE flattened
+    gather, and the normal is the exact gradient of the trilinear
+    interpolant computed from those same corners — no extra samples. (An
+    earlier finite-difference version issued 7x8 separate 3-axis gathers;
+    TPU gathers are expensive enough that this dominated the whole physics
+    step.)
 
     Args:
       grid: SdfGrid (in its own frame).
@@ -106,36 +114,41 @@ def sdf_query(grid: SdfGrid, pts: jax.Array) -> tuple[jax.Array, jax.Array]:
       Points outside the grid return a large positive distance (no contact).
     """
     nx, ny, nz = grid.values.shape
+    flat = grid.values.reshape(-1)
 
-    def sample(p):
-        u = (p - grid.origin) * grid.inv_spacing
-        # clamp into the valid interpolation box; track out-of-box status
-        lo_ok = jnp.all(u >= 0.0, axis=-1)
-        hi_ok = (u[..., 0] <= nx - 1) & (u[..., 1] <= ny - 1) & (u[..., 2] <= nz - 1)
-        inside = lo_ok & hi_ok
-        u = jnp.clip(u, 0.0, jnp.asarray([nx - 1, ny - 1, nz - 1], u.dtype) - 1e-4)
-        i0 = jnp.floor(u).astype(jnp.int32)
-        f = u - i0
-        ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
-        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    u = (pts - grid.origin) * grid.inv_spacing
+    inside = (jnp.all(u >= 0.0, axis=-1)
+              & (u[..., 0] <= nx - 1) & (u[..., 1] <= ny - 1)
+              & (u[..., 2] <= nz - 1))
+    u = jnp.clip(u, 0.0, jnp.asarray([nx - 1, ny - 1, nz - 1], u.dtype) - 1e-4)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
 
-        def at(dx, dy, dz):
-            return grid.values[ix + dx, iy + dy, iz + dz]
+    base = (i0[..., 0] * ny + i0[..., 1]) * nz + i0[..., 2]
+    offsets = jnp.asarray(
+        [0, 1, nz, nz + 1, ny * nz, ny * nz + 1, ny * nz + nz, ny * nz + nz + 1],
+        jnp.int32)
+    corners = flat[base[..., None] + offsets]        # (..., 8) single gather
+    c000, c001, c010, c011, c100, c101, c110, c111 = jnp.moveaxis(
+        corners, -1, 0)
 
-        c00 = at(0, 0, 0) * (1 - fx) + at(1, 0, 0) * fx
-        c10 = at(0, 1, 0) * (1 - fx) + at(1, 1, 0) * fx
-        c01 = at(0, 0, 1) * (1 - fx) + at(1, 0, 1) * fx
-        c11 = at(0, 1, 1) * (1 - fx) + at(1, 1, 1) * fx
-        c0 = c00 * (1 - fy) + c10 * fy
-        c1 = c01 * (1 - fy) + c11 * fy
-        val = c0 * (1 - fz) + c1 * fz
-        return jnp.where(inside, val, 1e3)
+    # value
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    val = c0 * (1 - fx) + c1 * fx
+    d = jnp.where(inside, val, 1e3)
 
-    d = sample(pts)
-    h = 0.5 / grid.inv_spacing
-    eye = jnp.eye(3, dtype=pts.dtype) * h
-    grad = jnp.stack(
-        [sample(pts + eye[k]) - sample(pts - eye[k]) for k in range(3)], axis=-1
-    )
+    # exact gradient of the trilinear interpolant (same 8 corners)
+    s = grid.inv_spacing
+    gx = (c1 - c0) * s
+    gy = ((c01 - c00) * (1 - fx) + (c11 - c10) * fx) * s
+    gz = (((c001 - c000) * (1 - fy) + (c011 - c010) * fy) * (1 - fx)
+          + ((c101 - c100) * (1 - fy) + (c111 - c110) * fy) * fx) * s
+    grad = jnp.stack([gx, gy, gz], axis=-1)
     normal = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
     return d, normal

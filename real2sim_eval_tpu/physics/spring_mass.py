@@ -135,11 +135,14 @@ class SpringMassState:
 def spring_forces(params: SpringMassParams, opts: PhysicsOptions,
                   x: jax.Array, v: jax.Array) -> jax.Array:
     """Per-particle spring + dashpot force via incidence gather
-    (parity: eval_springs, spring_mass_warp.py:62-104)."""
-    i1 = params.springs[:, 0]
-    i2 = params.springs[:, 1]
-    x1, x2 = x[i1], x[i2]
-    v1, v2 = v[i1], v[i2]
+    (parity: eval_springs, spring_mass_warp.py:62-104).
+
+    TPU note: positions+velocities are packed so both endpoints of every
+    spring come from a single gather (gathers are the cost unit here)."""
+    xv = jnp.concatenate([x, v], axis=-1)            # (N, 6)
+    ends = xv[params.springs]                        # (S, 2, 6) one gather
+    x1, v1 = ends[:, 0, :3], ends[:, 0, 3:]
+    x2, v2 = ends[:, 1, :3], ends[:, 1, 3:]
 
     dis = x2 - x1
     dis_len = jnp.linalg.norm(dis, axis=-1)
@@ -206,9 +209,9 @@ def self_collision_impulse(params, opts, x, v, cand_idx, cand_valid):
     elas = jnp.clip(params.collide_self_elas, 0.0, 1.0)
     fric = jnp.clip(params.collide_self_fric, 0.0, 2.0)
 
-    xj = x[cand_idx]                       # (N, K, 3)
-    vj = v[cand_idx]
-    mj = params.masses[cand_idx]
+    xvm = jnp.concatenate([x, v, params.masses[:, None]], axis=-1)  # (N, 7)
+    g = xvm[cand_idx]                      # (N, K, 7) one gather
+    xj, vj, mj = g[..., :3], g[..., 3:6], g[..., 6]
     dis = xj - x[:, None]
     dis_len = jnp.linalg.norm(dis, axis=-1)
     rel_v = vj - v[:, None]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import save_config
-from ..utils import transforms as tf
+from ..utils import transforms_np as tnp
 from .cli import hydra_like_main, raster_config_from, run_name_for
 from .episode_io import EpisodeWriter
 from .policy_api import load_policy
@@ -73,7 +73,7 @@ def run_episode(cfg, episode_id: int, out_dir: Path, policy, local_rank=0):
     # initial stabilization action from the reset pose (eval_policy.py:106-126)
     eef_xyz = np.asarray(obs["robot"]["eef_xyz"])
     eef_quat = np.asarray(obs["robot"]["eef_quat"])
-    eef_rot = np.asarray(tf.quat_to_rot(jnp.asarray(eef_quat)))
+    eef_rot = tnp.quat_to_rot(eef_quat)
     eef_gripper = np.asarray(obs["robot"]["eef_gripper"])
     action = np.concatenate(
         [eef_xyz, eef_rot.reshape(eef_rot.shape[0], -1), eef_gripper], axis=1)
@@ -113,12 +113,12 @@ def run_episode(cfg, episode_id: int, out_dir: Path, policy, local_rank=0):
             act_xyz = cartesian[:, :3]
             act_rot = np.tile(np.diag([1.0, -1.0, -1.0]).astype(np.float32)[None],
                               (act_xyz.shape[0], 1, 1))
-            act_quat = np.asarray(tf.rot_to_quat(jnp.asarray(act_rot)))
+            act_quat = tnp.rot_to_quat(act_rot)
             act_gripper = np.zeros_like(cartesian[:, :1])
         else:
             act_xyz = cartesian[:, :3]
             act_quat = cartesian[:, 3:7]
-            act_rot = np.asarray(tf.quat_to_rot(jnp.asarray(act_quat)))
+            act_rot = tnp.quat_to_rot(act_quat)
             act_gripper = cartesian[:, 7:8]
 
         writer.write_robot(cnt, pos[0], quat[0], gripper_qpos[0],

@@ -40,7 +40,8 @@ def actions_from_policy(cartesian: np.ndarray, use_pusher: bool) -> np.ndarray:
                       (B, 1))
         grip = np.ones((B, 1), np.float32)  # always open in sim space
         return np.concatenate([cartesian[:, :3], rot, grip], axis=1)
-    rot = np.asarray(tf.quat_to_rot(jnp.asarray(cartesian[:, 3:7])))
+    from ..utils import transforms_np as tnp
+    rot = tnp.quat_to_rot(cartesian[:, 3:7])
     grip = 1.0 - cartesian[:, 7:8]
     return np.concatenate([cartesian[:, :3], rot.reshape(B, -1), grip],
                           axis=1).astype(np.float32)
@@ -86,7 +87,8 @@ def main(cfg):
 
         # stabilization: hold the reset pose for 1 s (eval_policy.py:124-126)
         g = np.asarray(ev.state.grippers)
-        rot0 = np.asarray(tf.quat_to_rot(jnp.asarray(g[:, 6:10])))
+        from ..utils import transforms_np as tnp
+        rot0 = tnp.quat_to_rot(g[:, 6:10])
         hold = np.concatenate(
             [g[:, :3], rot0.reshape(len(episode_ids), -1), g[:, 13:14]], axis=1)
         for _ in range(30):

@@ -22,6 +22,7 @@ import numpy as np
 from ..config import save_config
 from ..kinematics import KinHelper
 from ..utils import transforms as tf
+from ..utils import transforms_np as tnp
 from .cli import hydra_like_main, raster_config_from, run_name_for
 from .episode_io import EpisodeWriter
 from .utils.dir_utils import mkdir
@@ -69,7 +70,7 @@ def load_robot_json(path, use_qpos: bool = True, prefix: str = "action"):
         else:
             trans = np.array(robot[f"{prefix}.ee_pos"], np.float32).reshape(1, 3)
             quat = np.array(robot[f"{prefix}.ee_quat"], np.float32).reshape(1, 4)
-            rot = np.asarray(tf.quat_to_rot(jnp.asarray(quat)))
+            rot = tnp.quat_to_rot(quat)
         gripper = 1.0 - np.array(robot[f"{prefix}.gripper_qpos"],
                                  np.float32).reshape(-1)
     return trans, rot, gripper
@@ -128,7 +129,7 @@ def main(cfg):
         writer.write_random_variables(env.unwrapped.renderer.random_variables)
 
         # stabilize for 1 s at the initial pose (replay.py:190-191)
-        eef_rot0 = np.asarray(tf.quat_to_rot(jnp.asarray(obs["robot"]["eef_quat"])))
+        eef_rot0 = tnp.quat_to_rot(np.asarray(obs["robot"]["eef_quat"]))
         action = np.concatenate([
             np.asarray(obs["robot"]["eef_xyz"]),
             eef_rot0.reshape(eef_rot0.shape[0], -1),
@@ -147,7 +148,7 @@ def main(cfg):
             eef_xyz = traj[cnt].reshape(n_grippers, 3)
             eef_rot = rots[cnt].reshape(n_grippers, 3, 3)
             eef_gripper = grips[cnt].reshape(n_grippers, 1)
-            eef_quat = np.asarray(tf.rot_to_quat(jnp.asarray(eef_rot)))
+            eef_quat = tnp.rot_to_quat(eef_rot)
 
             writer.write_robot(
                 cnt, obs["robot"]["eef_xyz"][0], obs["robot"]["eef_quat"][0],

@@ -80,9 +80,8 @@ class BatchedEvaluator:
             self._static_mesh_dumps.append(
                 [{"vertices": m.vertices.copy(), "faces": m.faces.copy()}
                  for m in phys.init_meshes.values()] if phys.init_meshes else [])
-            pose = np.asarray(phys.colliders.static_pose) \
-                if len(phys.colliders.statics) else np.zeros((0, 4, 4), np.float32)
-            obj_pose = np.asarray(rend.pose_obj, np.float64)
+            pose = phys.host_cache["static_pose"]
+            obj_pose = np.asarray(rend.pose_obj_np, np.float64)
             if i == 0:
                 pose0_inv = np.linalg.inv(obj_pose)
                 self.params = phys.params
@@ -92,11 +91,11 @@ class BatchedEvaluator:
                 self.global_translation = phys.global_translation
                 self.force_threshold = float(cfg.physics.grasp_force_threshold)
                 self._snapshot_scene(rend)
-            rest_x.append(np.asarray(phys.params.rest_x))
-            sm_x.append(np.asarray(phys.sm_state.x))
+            rest_x.append(phys.host_cache["rest_x"])
+            sm_x.append(phys.host_cache["rest_x"])
             static_poses.append(pose)
             rel_poses.append((obj_pose @ pose0_inv).astype(np.float32))
-            grippers.append(np.asarray(rend.grippers[0]))
+            grippers.append(rend.grippers[0].copy())
             rvars.append(list(rend.random_variables))
         self.random_variables = rvars
 

@@ -6,7 +6,7 @@ from .spring_mass import (
     SubstepControls,
     make_step_fn,
 )
-from .topology import connect_springs, build_incidence
+from .topology import connect_springs, build_incidence, build_neighbor_tables
 from .sdf import SdfGrid, build_sdf_grid, sdf_query
 from .dynamics import PhysTwinDynamics
 
@@ -19,6 +19,7 @@ __all__ = [
     "make_step_fn",
     "connect_springs",
     "build_incidence",
+    "build_neighbor_tables",
     "SdfGrid",
     "build_sdf_grid",
     "sdf_query",

@@ -39,7 +39,7 @@ from .spring_mass import (
     SubstepControls,
     make_step_fn,
 )
-from .topology import build_incidence, connect_springs
+from .topology import build_neighbor_tables, connect_springs
 
 
 @struct.dataclass
@@ -283,28 +283,37 @@ class PhysTwinDynamics:
         else:
             self.init_meshes = None
 
+        np_static_pose = (np.stack(static_poses) if static_poses
+                          else np.zeros((0, 4, 4), np.float32))
         colliders = MeshColliderSet(
             fingers=fingers,
             finger_pose_table=(finger_table if finger_table is not None
                                else jnp.zeros((1, 101, 4, 4), jnp.float32)),
             statics=tuple(statics),
-            static_pose=jnp.asarray(
-                np.stack(static_poses) if static_poses
-                else np.zeros((0, 4, 4), np.float32)),
+            static_pose=jnp.asarray(np_static_pose),
         )
+        # host copies for batched-eval snapshotting (device->host syncs are
+        # very expensive on the tunnel runtime)
+        self.host_cache = {"rest_x": init_pts_model,
+                           "static_pose": np_static_pose}
         self.colliders = colliders
         self.finger_centroids = jnp.asarray(finger_centroids)
 
         # --- params / options -----------------------------------------
         n = len(init_pts_model)
-        inc_idx, inc_sign = build_incidence(springs, n)
+        nbr_idx, nbr_rest, nbr_Y = build_neighbor_tables(
+            springs, rest_lengths, np.log(np.maximum(spring_Y, 1e-12)), n)
         self.params = SpringMassParams(
             springs=jnp.asarray(springs),
             rest_lengths=jnp.asarray(rest_lengths),
             spring_Y_log=jnp.asarray(np.log(np.maximum(spring_Y, 1e-12)), jnp.float32),
             masses=jnp.ones((n,), jnp.float32),
-            inc_idx=jnp.asarray(inc_idx),
-            inc_sign=jnp.asarray(inc_sign),
+            nbr_idx=jnp.asarray(nbr_idx),
+            nbr_rest=jnp.asarray(nbr_rest),
+            nbr_Y_log=jnp.asarray(nbr_Y),
+            nbr_onehot=(jax.nn.one_hot(nbr_idx.reshape(-1), n,
+                                       dtype=jnp.bfloat16)
+                        if nbr_idx.size >= 4096 else None),
             collision_mask=jnp.arange(n, dtype=jnp.int32),
             rest_x=jnp.asarray(init_pts_model),
             collide_elas=jnp.asarray(float(np.asarray(first["collide_elas"]).ravel()[0])),

@@ -26,15 +26,30 @@ from ..utils.mesh import TriMesh
 
 @struct.dataclass
 class SdfGrid:
-    """Dense SDF sampled on a regular grid (jittable pytree)."""
+    """Dense SDF sampled on a regular grid (jittable pytree).
+
+    ``corners`` pre-packs each cell's 8 corner values contiguously so a
+    trilinear query needs ONE gather of N rows (TPU gathers serialize per
+    row; packing trades 8x memory for 8x fewer gathered rows in the
+    innermost physics loop)."""
 
     origin: jax.Array      # (3,) world/link-frame position of voxel (0,0,0)
     inv_spacing: jax.Array  # () 1/voxel size
     values: jax.Array      # (nx, ny, nz) signed distance, f32
+    corners: jax.Array     # ((nx-1)*(ny-1)*(nz-1), 8) packed cell corners
 
     @property
     def shape(self):
         return self.values.shape
+
+
+def _pack_corners(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values)
+    c = np.stack([
+        v[:-1, :-1, :-1], v[:-1, :-1, 1:], v[:-1, 1:, :-1], v[:-1, 1:, 1:],
+        v[1:, :-1, :-1], v[1:, :-1, 1:], v[1:, 1:, :-1], v[1:, 1:, 1:],
+    ], axis=-1)
+    return c.reshape(-1, 8).astype(np.float32)
 
 
 def build_sdf_grid(
@@ -83,6 +98,7 @@ def build_sdf_grid(
         origin=jnp.asarray(lo, jnp.float32),
         inv_spacing=jnp.asarray(1.0 / voxel_size, jnp.float32),
         values=jnp.asarray(sdf),
+        corners=jnp.asarray(_pack_corners(sdf)),
     )
 
 
@@ -114,7 +130,6 @@ def sdf_query(grid: SdfGrid, pts: jax.Array) -> tuple[jax.Array, jax.Array]:
       Points outside the grid return a large positive distance (no contact).
     """
     nx, ny, nz = grid.values.shape
-    flat = grid.values.reshape(-1)
 
     u = (pts - grid.origin) * grid.inv_spacing
     inside = (jnp.all(u >= 0.0, axis=-1)
@@ -125,11 +140,8 @@ def sdf_query(grid: SdfGrid, pts: jax.Array) -> tuple[jax.Array, jax.Array]:
     f = u - i0
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
 
-    base = (i0[..., 0] * ny + i0[..., 1]) * nz + i0[..., 2]
-    offsets = jnp.asarray(
-        [0, 1, nz, nz + 1, ny * nz, ny * nz + 1, ny * nz + nz, ny * nz + nz + 1],
-        jnp.int32)
-    corners = flat[base[..., None] + offsets]        # (..., 8) single gather
+    cell = (i0[..., 0] * (ny - 1) + i0[..., 1]) * (nz - 1) + i0[..., 2]
+    corners = grid.corners[cell]                    # (..., 8) one N-row gather
     c000, c001, c010, c011, c100, c101, c110, c111 = jnp.moveaxis(
         corners, -1, 0)
 

@@ -73,12 +73,13 @@ class PhysicsOptions:
 class SpringMassParams:
     """Per-episode arrays (pytree; vmap axis 0 for batched envs)."""
 
-    springs: jax.Array          # (S, 2) i32
+    springs: jax.Array          # (S, 2) i32 (kept for state dumps/metrics)
     rest_lengths: jax.Array     # (S,)
     spring_Y_log: jax.Array     # (S,) log stiffness
     masses: jax.Array           # (N,)
-    inc_idx: jax.Array          # (N, D) i32 (S = padding)
-    inc_sign: jax.Array         # (N, D) f32
+    nbr_idx: jax.Array          # (N, D) i32 neighbor particle ids (pad: self)
+    nbr_rest: jax.Array         # (N, D) f32 rest lengths (pad: 1)
+    nbr_Y_log: jax.Array        # (N, D) f32 log stiffness (pad: -inf)
     collision_mask: jax.Array   # (N,) i32
     rest_x: jax.Array           # (N, 3) rest positions (resting-pair test)
     collide_elas: jax.Array     # () f32
@@ -87,6 +88,10 @@ class SpringMassParams:
     collide_eef_fric: jax.Array
     collide_self_elas: jax.Array
     collide_self_fric: jax.Array
+    # optional (N*D, N) bf16 one-hot of nbr_idx: routes the neighbor gather
+    # through the MXU (TPU row-gathers serialize; a one-hot matmul with an
+    # exact hi/lo bf16 split of the data is much faster for dense topologies)
+    nbr_onehot: jax.Array | None = None
 
 
 @struct.dataclass
@@ -134,30 +139,43 @@ class SpringMassState:
 
 def spring_forces(params: SpringMassParams, opts: PhysicsOptions,
                   x: jax.Array, v: jax.Array) -> jax.Array:
-    """Per-particle spring + dashpot force via incidence gather
-    (parity: eval_springs, spring_mass_warp.py:62-104).
+    """Per-particle spring + dashpot force via the neighbor formulation
+    (parity: eval_springs, spring_mass_warp.py:62-104, evaluated from both
+    endpoints — symmetric, so forces are identical).
 
-    TPU note: positions+velocities are packed so both endpoints of every
-    spring come from a single gather (gathers are the cost unit here)."""
+    TPU note: ONE packed gather (x,v at the neighbors) replaces the
+    reference's atomic scatter-add and the endpoint+incidence gather pair;
+    gathers are the dominant cost unit on TPU."""
     xv = jnp.concatenate([x, v], axis=-1)            # (N, 6)
-    ends = xv[params.springs]                        # (S, 2, 6) one gather
-    x1, v1 = ends[:, 0, :3], ends[:, 0, 3:]
-    x2, v2 = ends[:, 1, :3], ends[:, 1, 3:]
+    if params.nbr_onehot is not None:
+        # MXU gather: E @ [hi | mid | lo], E one-hot (each row selects one
+        # value, so summing the three bf16 splits reconstructs f32 to ~1e-7
+        # relative — three 8-bit mantissa chunks cover the 24-bit mantissa)
+        hi = xv.astype(jnp.bfloat16)
+        r1 = xv - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        packed = jnp.concatenate([hi, mid, lo], axis=-1)  # (N, 18) bf16
+        nb = jnp.dot(params.nbr_onehot, packed,
+                     preferred_element_type=jnp.float32)
+        nb = nb[..., :6] + nb[..., 6:12] + nb[..., 12:]
+        nb = nb.reshape(*params.nbr_idx.shape, 6)
+    else:
+        nb = xv[params.nbr_idx]                      # (N, D, 6) one gather
+    xj, vj = nb[..., :3], nb[..., 3:]
 
-    dis = x2 - x1
+    dis = xj - x[:, None]                            # (N, D, 3)
     dis_len = jnp.linalg.norm(dis, axis=-1)
-    d = dis / jnp.maximum(dis_len, 1e-6)[:, None]
+    d = dis / jnp.maximum(dis_len, 1e-6)[..., None]
 
-    Y = jnp.exp(params.spring_Y_log)
+    Y = jnp.exp(params.nbr_Y_log)                    # padding -inf -> 0
     active = Y > opts.spring_Y_min
     Yc = jnp.clip(Y, opts.spring_Y_min, opts.spring_Y_max)
-    spring_f = (Yc * (dis_len / params.rest_lengths - 1.0))[:, None] * d
-    v_rel = jnp.sum((v2 - v1) * d, axis=-1)
-    dashpot_f = (opts.dashpot_damping * v_rel)[:, None] * d
-    f = jnp.where(active[:, None], spring_f + dashpot_f, 0.0)
-
-    f_pad = jnp.concatenate([f, jnp.zeros((1, 3), f.dtype)], axis=0)
-    return jnp.einsum("nd,ndc->nc", params.inc_sign, f_pad[params.inc_idx])
+    spring_f = (Yc * (dis_len / params.nbr_rest - 1.0))[..., None] * d
+    v_rel = jnp.sum((vj - v[:, None]) * d, axis=-1)
+    dashpot_f = (opts.dashpot_damping * v_rel)[..., None] * d
+    f = jnp.where(active[..., None], spring_f + dashpot_f, 0.0)
+    return jnp.sum(f, axis=1)
 
 
 def velocity_update(params, opts, v, f):
@@ -412,12 +430,133 @@ def ground_collision_integrate(params, opts, x, v):
 # ---------------------------------------------------------------------------
 
 
+def _substep_pose_tables(opts: PhysicsOptions, colliders: MeshColliderSet,
+                         ctrl: SubstepControls, dtype):
+    """Vectorize every substep-index-dependent quantity over all substeps
+    BEFORE the scan (each op inside the loop costs ~10 us of fixed kernel
+    overhead on TPU; here the whole eef trajectory interpolation,
+    phystwin.py:375-380/:416-460, becomes a handful of big ops whose slices
+    arrive in the loop as scan xs).
+
+    Returns per-substep xs: T_all (n, C, 4, 4) world poses of every collider
+    (fingers then statics), Tinv_all, center (n, 3).
+    """
+    n = opts.num_substeps
+    n_f = len(colliders.fingers)
+    frac = (jnp.arange(n, dtype=dtype) + 1.0) / n                  # (n,)
+    t_sub = frac * (n * opts.dt)
+
+    eef_xyz_s = ctrl.eef_xyz[None] + ctrl.eef_vel[None] * t_sub[:, None]
+    rot_delta = tf.axis_angle_to_rot(ctrl.eef_rot_vel[None] * t_sub[:, None])
+    eef_rot_s = jnp.swapaxes(rot_delta, -1, -2) @ ctrl.eef_rot[None]
+    T_eef = tf.make_se3(eef_rot_s, eef_xyz_s)                      # (n, 4, 4)
+
+    parts = []
+    if n_f > 0:
+        openness_s = (ctrl.openness_start
+                      + (ctrl.openness_end - ctrl.openness_start) * frac)
+        T_fe = jax.vmap(_interp_finger_pose, in_axes=(None, 0))(
+            colliders.finger_pose_table, openness_s)               # (n, F, 4, 4)
+        parts.append(T_eef[:, None] @ T_fe)
+    n_s = colliders.static_pose.shape[0]
+    if n_s > 0:
+        parts.append(jnp.broadcast_to(colliders.static_pose[None],
+                                      (n, n_s, 4, 4)).astype(dtype))
+    T_all = jnp.concatenate(parts, axis=1)                         # (n, C, 4, 4)
+    Tinv_all = tf.se3_inverse(T_all)
+    return T_all, Tinv_all, eef_xyz_s
+
+
+def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
+                         dyn_lin_vel, dyn_omega, x, v):
+    """Per-substep SDF contact response against all colliders at once
+    (semantics identical to mesh_collision_sdf; see its docstring for the
+    reference citations). T_all/Tinv_all: (C, 4, 4) this substep."""
+    dt = opts.dt
+    next_x = x + v * dt
+
+    p_local = (jnp.einsum("cij,nj->cni", Tinv_all[:, :3, :3], next_x)
+               + Tinv_all[:, None, :3, 3])
+    from .multi_sdf import multi_sdf_query
+
+    D, nrm_local = multi_sdf_query(combo, p_local)                 # (C, N)
+    NRM = jnp.einsum("cij,cnj->cni", T_all[:, :3, :3], nrm_local)
+
+    C = D.shape[0]
+    kind_arr = jnp.asarray([1] * n_f + [0] * (C - n_f))
+    fid_arr = jnp.asarray(list(range(n_f)) + [0] * (C - n_f))
+
+    best = jnp.argmin(D, axis=0)                                   # (N,)
+    dist = jnp.take_along_axis(D, best[None], axis=0)[0]
+    normal = jnp.take_along_axis(NRM, best[None, :, None], axis=0)[0]
+    is_dyn = kind_arr[best] == 1
+    finger = fid_arr[best]
+
+    in_range = jnp.abs(dist) < 0.02
+    margin = jnp.where(is_dyn & (not opts.use_pusher), 0.005, 0.001)
+    err = dist - margin
+    contact = in_range & (err < 0.0)
+
+    v_surface = (dyn_lin_vel[jnp.clip(finger, 0, max(n_f - 1, 0))]
+                 + jnp.cross(dyn_omega[None], x - center[None]))
+    v_rel = jnp.where(is_dyn[:, None], v - v_surface, v)
+
+    elas = jnp.where(is_dyn, jnp.clip(params.collide_eef_elas, 0.0, 1.0),
+                     jnp.clip(params.collide_elas, 0.0, 1.0))
+    fric = jnp.where(is_dyn, jnp.clip(params.collide_eef_fric, 0.0, 2.0),
+                     jnp.clip(params.collide_fric, 0.0, 2.0))
+
+    vn_mag = jnp.sum(v_rel * normal, axis=-1)
+    v_n = vn_mag[:, None] * normal
+    v_t = v_rel - v_n
+    v_t_len = jnp.maximum(jnp.linalg.norm(v_t, axis=-1), 1e-6)
+    v_n_new = -elas[:, None] * v_n
+    a = jnp.maximum(0.0, 1.0 - fric * (1.0 + elas) * jnp.abs(vn_mag) / v_t_len)
+    v_resp = v_n_new + a[:, None] * v_t
+    v_resp = jnp.where(is_dyn[:, None], v_resp + v_surface, v_resp)
+    v_new = jnp.where(contact[:, None], v_resp, v)
+
+    x_static = next_x - normal * err[:, None]
+    next_x2 = x + v_new * dt
+    if n_f > 0:
+        p2 = (jnp.einsum("cij,nj->cni", Tinv_all[:n_f, :3, :3], next_x2)
+              + Tinv_all[:n_f, None, :3, 3])
+        # restrict the combined table to the finger prefix (cells of
+        # fingers precede statics by construction)
+        D2, n2_local = multi_sdf_query(
+            {k: (v2[:n_f] if k != "corners" else v2)
+             for k, v2 in combo.items()}, p2)
+        N2 = jnp.einsum("cij,cnj->cni", T_all[:n_f, :3, :3], n2_local)
+        fsel = jnp.clip(finger, 0, n_f - 1)
+        d2 = jnp.take_along_axis(D2, fsel[None], axis=0)[0]
+        nrm2 = jnp.take_along_axis(N2, fsel[None, :, None], axis=0)[0]
+        err2 = d2 - margin
+        hit2 = (jnp.abs(d2) < 0.02) & (err2 < 0.0)
+        x_dyn = jnp.where(hit2[:, None], next_x2 - nrm2 * err2[:, None], next_x2)
+    else:
+        x_dyn = next_x2
+
+    x_out = jnp.where(contact[:, None],
+                      jnp.where(is_dyn[:, None], x_dyn, x_static), next_x)
+
+    delta_vn = (v_n_new - v_n) / dt
+    force_contrib = jnp.where((contact & is_dyn)[:, None], delta_vn, 0.0)
+    if n_f > 0:
+        one_hot = jax.nn.one_hot(jnp.clip(finger, 0, n_f - 1), n_f, dtype=x.dtype)
+        finger_forces = one_hot.T @ force_contrib
+    else:
+        finger_forces = jnp.zeros((1, 3), x.dtype)
+    return x_out, v_new, finger_forces
+
+
 def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
     """Build the jittable control-step function.
 
     ``step(params, colliders, state, ctrl) -> state`` runs the full
     ``num_substeps`` substep loop (the reference's CUDA graph,
-    phystwin.py:515-517) as one lax.scan.
+    phystwin.py:515-517) as one lax.scan. All substep-index-dependent
+    control quantities are precomputed vectorized and streamed in as scan
+    xs (see _substep_pose_tables).
     """
 
     def step(params: SpringMassParams, colliders: MeshColliderSet | None,
@@ -427,18 +566,27 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
         else:
             cand_idx = cand_valid = None
 
-        inv_n = 1.0 / opts.num_substeps
+        if has_colliders:
+            from .multi_sdf import combine_grids
 
-        def substep(carry, i):
+            n_f = len(colliders.fingers)
+            combo = combine_grids(tuple(colliders.fingers)
+                                  + tuple(colliders.statics))
+            xs = _substep_pose_tables(opts, colliders, ctrl, state.x.dtype)
+        else:
+            xs = jnp.arange(opts.num_substeps)
+
+        def substep(carry, per_step):
             x, v, prev_forces = carry
             f = spring_forces(params, opts, x, v)
             v1 = velocity_update(params, opts, v, f)
             if opts.self_collision:
                 v1 = self_collision_impulse(params, opts, x, v1, cand_idx, cand_valid)
             if has_colliders:
-                frac = (i.astype(x.dtype) + 1.0) * inv_n
-                x, v1, forces = mesh_collision_sdf(
-                    params, opts, colliders, ctrl, frac, x, v1)
+                T_all, Tinv_all, center = per_step
+                x, v1, forces = mesh_collision_multi(
+                    params, opts, combo, n_f, T_all, Tinv_all, center,
+                    ctrl.dyn_lin_vel, ctrl.dyn_omega, x, v1)
                 forces = jnp.broadcast_to(forces, prev_forces.shape)
             else:
                 forces = jnp.zeros_like(prev_forces)
@@ -446,8 +594,7 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
             return (x, v, forces), None
 
         init = (state.x, state.v, state.finger_forces)
-        (x, v, forces), _ = jax.lax.scan(
-            substep, init, jnp.arange(opts.num_substeps))
+        (x, v, forces), _ = jax.lax.scan(substep, init, xs)
         return SpringMassState(x=x, v=v, finger_forces=forces)
 
     return step

@@ -88,6 +88,40 @@ def connect_springs_grouped(
             np.concatenate(rests_all).astype(np.float32))
 
 
+def build_neighbor_tables(
+    springs: np.ndarray, rest_lengths: np.ndarray, spring_Y_log: np.ndarray,
+    n_points: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-particle neighbor formulation of the spring system.
+
+    Instead of per-spring forces + endpoint accumulation (two big gathers),
+    each particle stores its neighbor particle indices with the spring's
+    rest length and log-stiffness baked in, so the whole force evaluation
+    is ONE packed gather of x/v at the neighbors (each spring is simply
+    evaluated from both ends — symmetric, so identical forces).
+
+    Returns (nbr_idx (N, D) i32 — padded with the particle's own index,
+    nbr_rest (N, D) f32 — padding 1.0, nbr_Y_log (N, D) f32 — padding -inf
+    so exp() -> 0 disables the slot).
+    """
+    lists: list[list[tuple[int, float, float]]] = [[] for _ in range(n_points)]
+    for s, (i, j) in enumerate(np.asarray(springs)):
+        r = float(rest_lengths[s])
+        y = float(spring_Y_log[s])
+        lists[int(i)].append((int(j), r, y))
+        lists[int(j)].append((int(i), r, y))
+    deg = max(1, max((len(l) for l in lists), default=0))
+    nbr_idx = np.tile(np.arange(n_points, dtype=np.int32)[:, None], (1, deg))
+    nbr_rest = np.ones((n_points, deg), np.float32)
+    nbr_Y = np.full((n_points, deg), -np.inf, np.float32)
+    for p, l in enumerate(lists):
+        for d, (j, r, y) in enumerate(l):
+            nbr_idx[p, d] = j
+            nbr_rest[p, d] = r
+            nbr_Y[p, d] = y
+    return nbr_idx, nbr_rest, nbr_Y
+
+
 def build_incidence(
     springs: np.ndarray, n_points: int, pad_to: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -26,6 +26,7 @@ import numpy as np
 from ..kinematics import KinematicChain, make_ik_fn
 from ..kinematics.robot import CANONICAL_ARM_QPOS, RobotModel
 from ..utils import transforms as tf
+from ..utils import transforms_np as tnp
 from ..utils.gs_processor import GSProcessor, activate_params
 from ..utils.mesh import load_mesh
 from ..utils.sh import C0
@@ -249,7 +250,7 @@ class GSRenderer:
         # eef point table in the eef frame; the world-frame function mirrors
         # the reference's interp1d closure (robot_pc_transformations.py:190)
         self._eef_table = self.robot.eef_points_table()   # (101, P, 3) eef frame
-        R_init = np.asarray(tf.quat_to_rot(jnp.asarray(eef_quat[0])))
+        R_init = tnp.quat_to_rot(eef_quat[0])
         t_init = eef_xyz[0]
 
         def eef_pts_func(openness: float) -> np.ndarray:
@@ -276,6 +277,7 @@ class GSRenderer:
                                          obj_cfg["azimuth_range"])
             pose_obj = apply_random_pose(pose_obj, rand)
             self.random_variables.append(list(rand))
+        self.pose_obj_np = np.asarray(pose_obj, np.float32)
         self.pose_obj = jnp.asarray(pose_obj, jnp.float32)
         self.rendervar = transform_params_by_pose(obj, pose_obj)
 
@@ -356,12 +358,13 @@ class GSRenderer:
             eef_vel = (np.asarray(eef_xyz_next, np.float32).reshape(-1, 3)
                        - eef_xyz) * fps
         if eef_quat_next is not None:
-            R_this = np.asarray(tf.quat_to_rot(jnp.asarray(eef_quat)))
-            R_next = np.asarray(tf.quat_to_rot(
-                jnp.asarray(np.asarray(eef_quat_next, np.float32).reshape(-1, 4))))
+            # host-side math: a device round-trip here costs seconds on the
+            # tunnel runtime and this runs per reset/step
+            R_this = tnp.quat_to_rot(eef_quat)
+            R_next = tnp.quat_to_rot(
+                np.asarray(eef_quat_next, np.float32).reshape(-1, 4))
             delta = R_this @ np.linalg.inv(R_next)
-            eef_quat_vel = np.asarray(
-                tf.rot_to_axis_angle(jnp.asarray(delta))) * fps
+            eef_quat_vel = tnp.rot_to_axis_angle(delta) * fps
         n_g = int(self.cfg.env.robot.n_grippers)
         g = np.zeros((n_g, 14), np.float32)
         g[:, :3] = eef_xyz
@@ -382,10 +385,9 @@ class GSRenderer:
             eef_gripper = 1.0 - qpos[:, -1:]
             prev_q = self.grippers[:, 6:10].copy()
             prev_xyz = self.grippers[:, :3].copy()
-            R_prev = np.asarray(tf.quat_to_rot(jnp.asarray(prev_q)))
-            R_this = np.asarray(tf.quat_to_rot(jnp.asarray(eef_quat)))
-            aa = np.asarray(tf.rot_to_axis_angle(
-                jnp.asarray(R_prev @ np.linalg.inv(R_this))))
+            R_prev = tnp.quat_to_rot(prev_q)
+            R_this = tnp.quat_to_rot(eef_quat)
+            aa = tnp.rot_to_axis_angle(R_prev @ np.linalg.inv(R_this))
             fps = float(self.cfg.physics.fps)
             self.set_eef(eef_xyz, eef_quat, eef_gripper,
                          eef_vel=(eef_xyz - prev_xyz) * fps,
@@ -468,7 +470,7 @@ class GSRenderer:
         if qpos_now is None:
             g = self.grippers if gripper_now is None else np.asarray(gripper_now)
             eef_xyz = g[0, :3]
-            eef_rot = np.asarray(tf.quat_to_rot(jnp.asarray(g[0, 6:10])))
+            eef_rot = tnp.quat_to_rot(g[0, 6:10])
             target = np.eye(4, dtype=np.float32)
             target[:3, :3] = eef_rot
             target[:3, 3] = eef_xyz
@@ -552,7 +554,7 @@ class GSRenderer:
             m = self.metadata_wrist
             w, h, k, eef2c = m["w"], m["h"], m["k"], m["eef2c"]
         g = self.grippers
-        eef_rot = np.asarray(tf.quat_to_rot(jnp.asarray(g[0, 6:10])))
+        eef_rot = tnp.quat_to_rot(g[0, 6:10])
         w2c = wrist_w2c(eef2c, g[0, :3], eef_rot)
         mw = self.metadata_wrist or {}
         return self._render_with(w, h, k, w2c, mw.get("near", 0.01),
@@ -589,13 +591,17 @@ class GSRenderer:
     # ------------------------------------------------------------------
 
     def compute_fk(self, joint_commands):
-        q = np.asarray(joint_commands, np.float32)
+        q = np.asarray(joint_commands, np.float64)
+        robot = self.sample_robot
+        eef_name = ("link7" if "link7" in robot.chain.link_names
+                    else robot.chain.link_names[self._eef_idx])
         xyzs, quats = [], []
         for i in range(q.shape[0]):
-            T = np.asarray(self._fk_eef(jnp.asarray(q[i, :7])))
+            T = robot.link_pose(robot.full_qpos(q[i, :7], openness=1.0), eef_name)
             xyzs.append(T[:3, 3])
-            quats.append(np.asarray(tf.rot_to_quat(jnp.asarray(T[:3, :3]))))
-        return np.stack(xyzs), np.stack(quats)
+            quats.append(tnp.rot_to_quat(T[:3, :3]))
+        return (np.stack(xyzs).astype(np.float32),
+                np.stack(quats).astype(np.float32))
 
     def mimic_velocity_control(self, action):
         """Position-command -> joint-velocity smoothing
@@ -616,7 +622,10 @@ class GSRenderer:
         v = delta / 0.02 * 0.15
         new_qpos = self.qpos_curr_xarm[:7] + v * dt
 
-        T = np.asarray(self._fk_eef(jnp.asarray(new_qpos, jnp.float32)))
+        robot = self.sample_robot
+        eef_name = ("link7" if "link7" in robot.chain.link_names
+                    else robot.chain.link_names[self._eef_idx])
+        T = robot.link_pose(robot.full_qpos(new_qpos, openness=1.0), eef_name)
         action = action.copy()
         action[0, 0:3] = T[:3, 3]
         action[0, 3:12] = T[:3, :3].reshape(-1)

@@ -19,12 +19,14 @@ from real2sim_eval_tpu.physics.spring_mass import (
     spring_forces,
     velocity_update,
 )
-from real2sim_eval_tpu.physics.topology import build_incidence, connect_springs
+from real2sim_eval_tpu.physics.topology import build_neighbor_tables, connect_springs
 
 
 def make_params(x0, springs, rest, Y=3e4, masses=None, **collide):
     n = len(x0)
-    inc_idx, inc_sign = build_incidence(springs, n)
+    Y_log = np.full(len(springs), np.log(Y), np.float32)
+    nbr_idx, nbr_rest, nbr_Y = build_neighbor_tables(
+        springs, np.asarray(rest, np.float32), Y_log, n)
     defaults = dict(collide_elas=0.5, collide_fric=0.3, collide_eef_elas=0.0,
                     collide_eef_fric=1.0, collide_self_elas=0.5,
                     collide_self_fric=0.3)
@@ -34,8 +36,9 @@ def make_params(x0, springs, rest, Y=3e4, masses=None, **collide):
         rest_lengths=jnp.asarray(rest, jnp.float32),
         spring_Y_log=jnp.full((len(springs),), np.log(Y), jnp.float32),
         masses=jnp.ones(n, jnp.float32) if masses is None else jnp.asarray(masses),
-        inc_idx=jnp.asarray(inc_idx),
-        inc_sign=jnp.asarray(inc_sign),
+        nbr_idx=jnp.asarray(nbr_idx),
+        nbr_rest=jnp.asarray(nbr_rest),
+        nbr_Y_log=jnp.asarray(nbr_Y),
         collision_mask=jnp.arange(n, dtype=jnp.int32),
         rest_x=jnp.asarray(x0, jnp.float32),
         **{k: jnp.asarray(v, jnp.float32) for k, v in defaults.items()},
@@ -300,3 +303,22 @@ class TestFullStep:
         # each lane evolves from its own start and stays finite
         assert np.isfinite(np.asarray(out.x)).all()
         assert not np.allclose(out.x[0], out.x[1])
+
+
+class TestMatmulGather:
+    def test_matches_gather_path(self, rng):
+        """The MXU one-hot path must agree with the row-gather path to f32
+        exactness (the hi/lo bf16 split reconstructs values exactly)."""
+        pts = rng.random((120, 3)).astype(np.float32)
+        springs, rest = connect_springs(pts, 0.3, 10)
+        params = make_params(pts, springs, rest, Y=2e4)
+        E = jax.nn.one_hot(np.asarray(params.nbr_idx).reshape(-1),
+                           len(pts), dtype=jnp.bfloat16)
+        params_mm = params.replace(nbr_onehot=E)
+        x = jnp.asarray(pts + rng.normal(scale=0.01, size=pts.shape), jnp.float32)
+        v = jnp.asarray(rng.normal(scale=0.2, size=pts.shape), jnp.float32)
+        opts = PhysicsOptions()
+        f_gather = spring_forces(params, opts, x, v)
+        f_matmul = spring_forces(params_mm, opts, x, v)
+        np.testing.assert_allclose(np.asarray(f_matmul), np.asarray(f_gather),
+                                   rtol=1e-6, atol=1e-4)

@@ -152,3 +152,67 @@ def test_gripper_urdf_link_ids():
     assert model.links[9].name == "link_eef"
     chain = KinematicChain.from_urdf(model)
     assert chain.n_dof == 13  # 7 arm + 6 finger joints (mimics kept as DOFs)
+
+
+@pytest.mark.skipif(not XARM7_GRIPPER.exists(), reason="reference assets unavailable")
+class TestXarmTransformAPI:
+    """API-parity wrappers (robot_pc_transformations.py function surface)."""
+
+    @pytest.fixture(scope="class")
+    def robots(self):
+        from real2sim_eval_tpu.kinematics.robot import RobotModel
+
+        collision = Path(
+            "/root/reference/assets/robots/xarm/xarm7_with_gripper_collision.urdf")
+        sample = RobotModel(str(XARM7_GRIPPER))
+        robot = RobotModel(str(collision),
+                           link_names=["left_finger", "right_finger"])
+        return sample, robot
+
+    def test_transform_gs_gripper_moves_link_splats(self, robots):
+        from real2sim_eval_tpu.kinematics.robot import CANONICAL_ARM_QPOS
+        from real2sim_eval_tpu.kinematics.xarm_transforms import (
+            transform_gs_xarm_gripper)
+
+        sample, _ = robots
+        rng = np.random.default_rng(0)
+        n = 50
+        params = {"means3D": rng.random((n, 3)).astype(np.float32),
+                  "rotations": np.tile([[1, 0, 0, 0]], (n, 1)).astype(np.float32)}
+        mask = np.zeros(n, np.int32)
+        mask[:20] = 5  # link4 splats
+        q = CANONICAL_ARM_QPOS.copy()
+        out_same = transform_gs_xarm_gripper(q, 750.0, dict(params), mask,
+                                             sample_robot=sample)
+        np.testing.assert_allclose(np.asarray(out_same["means3D"]),
+                                   params["means3D"], atol=1e-5)
+        q2 = q.copy()
+        q2[1] += 0.4
+        out = transform_gs_xarm_gripper(q2, 750.0, dict(params), mask,
+                                        sample_robot=sample)
+        moved = np.linalg.norm(np.asarray(out["means3D"]) - params["means3D"],
+                               axis=-1)
+        assert moved[:20].min() > 1e-3   # masked splats moved
+        assert moved[20:].max() < 1e-6   # others untouched
+
+    def test_eef_pts_func_openness(self, robots):
+        from real2sim_eval_tpu.kinematics import KinHelper
+        from real2sim_eval_tpu.kinematics.robot import CANONICAL_ARM_QPOS
+        from real2sim_eval_tpu.kinematics.xarm_transforms import (
+            get_eef_pts_xarm_gripper)
+
+        sample, robot = robots
+        kh = KinHelper("/root/reference/assets/robots/xarm/xarm7.urdf")
+        eef_xyz = np.array([0.2568, 0.0, 0.4005], np.float32)
+        eef_quat = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+        pts, fn = get_eef_pts_xarm_gripper(
+            eef_xyz, eef_quat, np.array([1.0]), robot, sample, kh,
+            CANONICAL_ARM_QPOS)
+        open_pts = fn(1.0)
+        closed_pts = fn(0.0)
+        assert open_pts.shape == closed_pts.shape
+        # fingers near the eef, below it (z < eef z), and closing narrows y
+        assert np.abs(open_pts[:, :2].mean(0) - eef_xyz[:2]).max() < 0.1
+        spread_open = open_pts[:, 1].max() - open_pts[:, 1].min()
+        spread_closed = closed_pts[:, 1].max() - closed_pts[:, 1].min()
+        assert spread_closed < spread_open

@@ -296,6 +296,14 @@ class GSRenderer:
             base_q = np.concatenate([CANONICAL_ARM_QPOS, np.full(n_extra, ang)])
         else:
             base_q = CANONICAL_ARM_QPOS.copy()
+        # articulation depends only on the urdf + init gripper counts, and
+        # _build_frame_fn jits a closure over it: build ONCE so repeated
+        # episode resets (the reference rebuilds env per episode,
+        # eval_policy.py:56-66) reuse the compiled frame function
+        if getattr(self, "articulation", None) is not None:
+            self.relations = None
+            self.weights = None
+            return
         self.articulation = RobotArticulation.build(
             self.sample_robot, link_ids, base_q, use_pusher=self.use_pusher)
 

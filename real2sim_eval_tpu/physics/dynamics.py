@@ -39,7 +39,8 @@ from .spring_mass import (
     SubstepControls,
     make_step_fn,
 )
-from .topology import build_neighbor_tables, connect_springs
+from .topology import (build_neighbor_tables, build_rolled_tables,
+                       connect_springs)
 
 
 @struct.dataclass
@@ -303,6 +304,8 @@ class PhysTwinDynamics:
         n = len(init_pts_model)
         nbr_idx, nbr_rest, nbr_Y = build_neighbor_tables(
             springs, rest_lengths, np.log(np.maximum(spring_Y, 1e-12)), n)
+        rolled = build_rolled_tables(
+            springs, rest_lengths, np.log(np.maximum(spring_Y, 1e-12)), n)
         self.params = SpringMassParams(
             springs=jnp.asarray(springs),
             rest_lengths=jnp.asarray(rest_lengths),
@@ -313,7 +316,11 @@ class PhysTwinDynamics:
             nbr_Y_log=jnp.asarray(nbr_Y),
             nbr_onehot=(jax.nn.one_hot(nbr_idx.reshape(-1), n,
                                        dtype=jnp.bfloat16)
-                        if nbr_idx.size >= 4096 else None),
+                        if nbr_idx.size >= 4096 and rolled is None else None),
+            roll_rest=(jnp.asarray(rolled[1]) if rolled is not None else None),
+            roll_Y_log=(jnp.asarray(rolled[2]) if rolled is not None else None),
+            roll_offsets=(tuple(int(o) for o in rolled[0])
+                          if rolled is not None else ()),
             collision_mask=jnp.arange(n, dtype=jnp.int32),
             rest_x=jnp.asarray(init_pts_model),
             collide_elas=jnp.asarray(float(np.asarray(first["collide_elas"]).ravel()[0])),

@@ -67,6 +67,8 @@ class PhysicsOptions:
     use_pusher: bool = False
     n_fingers: int = 2               # dynamic colliders (2 gripper / 1 pusher / 0)
     ground_height: float = 0.0
+    max_self_pairs: int = 2048       # compacted candidate-pair budget per env
+    max_contact_particles: int = 256  # particles tracked against colliders
 
 
 @struct.dataclass
@@ -92,6 +94,12 @@ class SpringMassParams:
     # through the MXU (TPU row-gathers serialize; a one-hot matmul with an
     # exact hi/lo bf16 split of the data is much faster for dense topologies)
     nbr_onehot: jax.Array | None = None
+    # optional offset-structured tables (chain-like topologies): forces via
+    # jnp.roll — zero gathers. roll_offsets is static (shifts must be
+    # compile-time); roll_rest/roll_Y_log are (O, N).
+    roll_rest: jax.Array | None = None
+    roll_Y_log: jax.Array | None = None
+    roll_offsets: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -147,6 +155,8 @@ def spring_forces(params: SpringMassParams, opts: PhysicsOptions,
     reference's atomic scatter-add and the endpoint+incidence gather pair;
     gathers are the dominant cost unit on TPU."""
     xv = jnp.concatenate([x, v], axis=-1)            # (N, 6)
+    if params.roll_rest is not None:
+        return _spring_forces_rolled(params, opts, x, v, xv)
     if params.nbr_onehot is not None:
         # MXU gather: E @ [hi | mid | lo], E one-hot (each row selects one
         # value, so summing the three bf16 splits reconstructs f32 to ~1e-7
@@ -176,6 +186,27 @@ def spring_forces(params: SpringMassParams, opts: PhysicsOptions,
     dashpot_f = (opts.dashpot_damping * v_rel)[..., None] * d
     f = jnp.where(active[..., None], spring_f + dashpot_f, 0.0)
     return jnp.sum(f, axis=1)
+
+
+def _spring_forces_rolled(params, opts, x, v, xv):
+    """Offset-structured evaluation (topology.build_rolled_tables): one
+    masked roll per distinct index offset — no gathers at all. Wrapped
+    (rolled-around) slots carry -inf stiffness so they contribute nothing."""
+    f = jnp.zeros_like(x)
+    for k, o in enumerate(params.roll_offsets):
+        nb = jnp.roll(xv, -int(o), axis=0)
+        xj, vj = nb[:, :3], nb[:, 3:]
+        dis = xj - x
+        dis_len = jnp.linalg.norm(dis, axis=-1)
+        d = dis / jnp.maximum(dis_len, 1e-6)[:, None]
+        Y = jnp.exp(params.roll_Y_log[k])
+        active = Y > opts.spring_Y_min
+        Yc = jnp.clip(Y, opts.spring_Y_min, opts.spring_Y_max)
+        mag = Yc * (dis_len / params.roll_rest[k] - 1.0)
+        v_rel = jnp.sum((vj - v) * d, axis=-1)
+        mag = mag + opts.dashpot_damping * v_rel
+        f = f + jnp.where(active, mag, 0.0)[:, None] * d
+    return f
 
 
 def velocity_update(params, opts, v, f):
@@ -253,6 +284,69 @@ def self_collision_impulse(params, opts, x, v, cand_idx, cand_valid):
     J_avg = jnp.sum(J, axis=1) / jnp.maximum(count, 1.0)[:, None]
     v_new = v - J_avg / params.masses[:, None]
     return jnp.where((count > 0)[:, None], v_new, v)
+
+
+def compact_candidate_pairs(opts: PhysicsOptions, x: jax.Array,
+                            cand_idx: jax.Array, cand_valid: jax.Array):
+    """Compact the padded (N, K) candidate lists into a fixed-size active
+    pair list for the substep loop.
+
+    Most particles have zero candidates most of the time, so evaluating the
+    padded (N, K) block every substep wastes ~95% of the work. Candidates
+    are frozen per control step (reference cadence), so the compaction runs
+    once: the ``max_self_pairs`` nearest valid (i, j) pairs are kept
+    (overflow drops the farthest — the reference instead truncates at 500
+    per particle in hash-grid order, spring_mass_warp.py:544-549).
+
+    Returns (pair_i (P,), pair_j (P,), pair_ok (P,)).
+    """
+    n, k = cand_idx.shape
+    p = min(opts.max_self_pairs, n * k)
+    d = jnp.linalg.norm(x[:, None] - x[cand_idx], axis=-1)      # (N, K)
+    score = jnp.where(cand_valid, d, jnp.inf).reshape(-1)
+    neg, sel = jax.lax.top_k(-score, p)
+    pair_i = (sel // k).astype(jnp.int32)
+    pair_j = cand_idx.reshape(-1)[sel]
+    return pair_i, pair_j, jnp.isfinite(-neg)
+
+
+def self_collision_pairs_impulse(params, opts, x, v, pair_i, pair_j, pair_ok):
+    """Per-substep impulse over the compacted pair list (same math as
+    loop()/object_collision, spring_mass_warp.py:132-268; the per-particle
+    impulse is the AVERAGE over that particle's hitting candidates)."""
+    elas = jnp.clip(params.collide_self_elas, 0.0, 1.0)
+    fric = jnp.clip(params.collide_self_fric, 0.0, 2.0)
+
+    xvm = jnp.concatenate([x, v, params.masses[:, None]], axis=-1)  # (N, 7)
+    g = xvm[jnp.concatenate([pair_i, pair_j])]        # one (2P, 7) gather
+    gi, gj = jnp.split(g, 2, axis=0)
+    xi, vi, mi = gi[:, :3], gi[:, 3:6], gi[:, 6]
+    xj, vj, mj = gj[:, :3], gj[:, 3:6], gj[:, 6]
+
+    dis = xj - xi
+    dis_len = jnp.linalg.norm(dis, axis=-1)
+    rel_v = vj - vi
+    hit = pair_ok & (dis_len < opts.collision_dist) \
+        & (jnp.sum(dis * rel_v, axis=-1) < -1e-4)
+
+    normal = dis / jnp.maximum(dis_len, 1e-6)[:, None]
+    vn_mag = jnp.sum(rel_v * normal, axis=-1)
+    v_n = vn_mag[:, None] * normal
+    inv_m = 1.0 / mi + 1.0 / mj
+    impulse_n = -(1.0 + elas) * v_n / inv_m[:, None]
+    v_t = rel_v - v_n
+    v_t_len = jnp.maximum(jnp.linalg.norm(v_t, axis=-1), 1e-6)
+    a = jnp.maximum(0.0, 1.0 - fric * (1.0 + elas) * jnp.abs(vn_mag) / v_t_len)
+    impulse_t = (a - 1.0)[:, None] * v_t / inv_m[:, None]
+    J = jnp.where(hit[:, None], impulse_n + impulse_t, 0.0)
+
+    n = x.shape[0]
+    upd = jnp.concatenate([J, hit.astype(x.dtype)[:, None]], axis=-1)
+    acc = jnp.zeros((n, 4), x.dtype).at[pair_i].add(upd, mode="drop")
+    J_sum, counts = acc[:, :3], acc[:, 3]
+    J_avg = J_sum / jnp.maximum(counts, 1.0)[:, None]
+    v_new = v - J_avg / params.masses[:, None]
+    return jnp.where((counts > 0)[:, None], v_new, v)
 
 
 def _interp_finger_pose(table: jax.Array, openness: jax.Array) -> jax.Array:
@@ -468,10 +562,11 @@ def _substep_pose_tables(opts: PhysicsOptions, colliders: MeshColliderSet,
 
 
 def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
-                         dyn_lin_vel, dyn_omega, x, v):
+                         dyn_lin_vel, dyn_omega, x, v, ok=None):
     """Per-substep SDF contact response against all colliders at once
     (semantics identical to mesh_collision_sdf; see its docstring for the
-    reference citations). T_all/Tinv_all: (C, 4, 4) this substep."""
+    reference citations). T_all/Tinv_all: (C, 4, 4) this substep. ``ok``
+    masks padded rows when called on a compacted particle subset."""
     dt = opts.dt
     next_x = x + v * dt
 
@@ -496,6 +591,8 @@ def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
     margin = jnp.where(is_dyn & (not opts.use_pusher), 0.005, 0.001)
     err = dist - margin
     contact = in_range & (err < 0.0)
+    if ok is not None:
+        contact = contact & ok
 
     v_surface = (dyn_lin_vel[jnp.clip(finger, 0, max(n_f - 1, 0))]
                  + jnp.cross(dyn_omega[None], x - center[None]))
@@ -563,16 +660,47 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
              state: SpringMassState, ctrl: SubstepControls) -> SpringMassState:
         if opts.self_collision:
             cand_idx, cand_valid = build_collision_candidates(params, opts, state.x)
-        else:
-            cand_idx = cand_valid = None
+            pair_i, pair_j, pair_ok = compact_candidate_pairs(
+                opts, state.x, cand_idx, cand_valid)
 
         if has_colliders:
-            from .multi_sdf import combine_grids
+            from .multi_sdf import combine_grids, multi_sdf_query
 
             n_f = len(colliders.fingers)
             combo = combine_grids(tuple(colliders.fingers)
                                   + tuple(colliders.statics))
             xs = _substep_pose_tables(opts, colliders, ctrl, state.x.dtype)
+
+            # contact-particle compaction (once per control step): only
+            # particles within conservative reach of a collider run the
+            # contact math; everyone else just advects (the reference
+            # evaluates all particles but almost all miss the 2 cm query
+            # band, mesh_collision:322-324). Reach covers the query band,
+            # particle travel (2x-integration quirk), collider sweep and
+            # gripper closing, plus slack.
+            # rank particles by distance to collider bounding spheres
+            # (well-defined at any range, unlike the grid-limited SDF)
+            import numpy as _np
+
+            dims = combo["dims"]  # (C, 3) static
+            half = (jnp.asarray(_np.asarray(dims) - 1, state.x.dtype)
+                    / combo["inv_spacing"][:, None]) * 0.5
+            center_local = combo["origin"] + half               # (C, 3)
+            R_bound = jnp.linalg.norm(half, axis=-1)            # (C,)
+            T0 = xs[0][0]                                       # (C, 4, 4)
+            centers_w = (jnp.einsum("cij,cj->ci", T0[:, :3, :3], center_local)
+                         + T0[:, :3, 3])
+            d_sphere = (jnp.linalg.norm(
+                state.x[None] - centers_w[:, None], axis=-1) - R_bound[:, None])
+            d0min = jnp.min(d_sphere, axis=0)
+            horizon = opts.num_substeps * opts.dt
+            travel = 2.0 * jnp.max(jnp.linalg.norm(state.v, axis=-1)) * horizon
+            sweep = (jnp.linalg.norm(ctrl.eef_vel)
+                     + jnp.linalg.norm(ctrl.dyn_lin_vel, axis=-1).max()) * horizon
+            reach = 0.02 + travel + sweep + 0.05
+            pm = min(opts.max_contact_particles, state.x.shape[0])
+            neg_d, cand = jax.lax.top_k(-d0min, pm)
+            cand_ok = (-neg_d) < reach
         else:
             xs = jnp.arange(opts.num_substeps)
 
@@ -581,12 +709,18 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
             f = spring_forces(params, opts, x, v)
             v1 = velocity_update(params, opts, v, f)
             if opts.self_collision:
-                v1 = self_collision_impulse(params, opts, x, v1, cand_idx, cand_valid)
+                v1 = self_collision_pairs_impulse(
+                    params, opts, x, v1, pair_i, pair_j, pair_ok)
             if has_colliders:
                 T_all, Tinv_all, center = per_step
-                x, v1, forces = mesh_collision_multi(
+                x_adv = x + v1 * opts.dt   # every particle advances
+                xc = x[cand]
+                vc = v1[cand]
+                xc_new, vc_new, forces = mesh_collision_multi(
                     params, opts, combo, n_f, T_all, Tinv_all, center,
-                    ctrl.dyn_lin_vel, ctrl.dyn_omega, x, v1)
+                    ctrl.dyn_lin_vel, ctrl.dyn_omega, xc, vc, ok=cand_ok)
+                x = x_adv.at[cand].set(xc_new)
+                v1 = v1.at[cand].set(vc_new)
                 forces = jnp.broadcast_to(forces, prev_forces.shape)
             else:
                 forces = jnp.zeros_like(prev_forces)

@@ -122,6 +122,41 @@ def build_neighbor_tables(
     return nbr_idx, nbr_rest, nbr_Y
 
 
+def build_rolled_tables(
+    springs: np.ndarray, rest_lengths: np.ndarray, spring_Y_log: np.ndarray,
+    n_points: int, max_offsets: int = 128,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Offset-structured spring tables for chain-like topologies.
+
+    When particles are ordered such that every spring connects indices
+    within a bounded window (ropes and other 1D-ish objects naturally are),
+    the neighbor gather becomes a set of jnp.roll's — pure vector ops, zero
+    gathers: for each distinct index offset o, slot tables hold the spring
+    params of the (i, i+o) spring at row i (or -inf stiffness when absent).
+
+    Returns (offsets (O,) int, rest (O, N) f32, Y_log (O, N) f32), or None
+    when the topology has too many distinct offsets to be worth it.
+    """
+    springs = np.asarray(springs)
+    if len(springs) == 0:
+        return None
+    deltas_all = np.concatenate([springs[:, 1] - springs[:, 0],
+                                 springs[:, 0] - springs[:, 1]])
+    offsets = np.unique(deltas_all)
+    if len(offsets) > max_offsets:
+        return None
+    off_index = {int(o): k for k, o in enumerate(offsets)}
+    O = len(offsets)
+    rest = np.ones((O, n_points), np.float32)
+    Y = np.full((O, n_points), -np.inf, np.float32)
+    for s, (i, j) in enumerate(springs):
+        for a, b in ((int(i), int(j)), (int(j), int(i))):
+            k = off_index[b - a]
+            rest[k, a] = rest_lengths[s]
+            Y[k, a] = spring_Y_log[s]
+    return offsets.astype(np.int32), rest, Y
+
+
 def build_incidence(
     springs: np.ndarray, n_points: int, pad_to: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -97,7 +97,7 @@ class ViserViewer:
             self._server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
         except OSError:
             self._server = ThreadingHTTPServer(("0.0.0.0", 0), Handler)
-            self.port = self._server.server_port
+        self.port = self._server.server_port
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()
 

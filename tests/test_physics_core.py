@@ -322,3 +322,68 @@ class TestMatmulGather:
         f_matmul = spring_forces(params_mm, opts, x, v)
         np.testing.assert_allclose(np.asarray(f_matmul), np.asarray(f_gather),
                                    rtol=1e-6, atol=1e-4)
+
+    def test_rolled_path_matches_gather(self, rng):
+        """Offset-structured (roll) evaluation must equal the gather path."""
+        from real2sim_eval_tpu.physics.topology import build_rolled_tables
+
+        from fixtures import make_rope_points
+        pts = make_rope_points(n=100, length=0.3).astype(np.float32)
+        springs, rest = connect_springs(pts, 0.02, 10)
+        params = make_params(pts, springs, rest, Y=2e3)
+        rolled = build_rolled_tables(
+            springs, np.asarray(rest, np.float32),
+            np.full(len(springs), np.log(2e3), np.float32), len(pts))
+        assert rolled is not None
+        params_r = params.replace(
+            roll_rest=jnp.asarray(rolled[1]), roll_Y_log=jnp.asarray(rolled[2]),
+            roll_offsets=tuple(int(o) for o in rolled[0]))
+        x = jnp.asarray(pts + rng.normal(scale=0.002, size=pts.shape), jnp.float32)
+        v = jnp.asarray(rng.normal(scale=0.1, size=pts.shape), jnp.float32)
+        opts = PhysicsOptions()
+        f_g = spring_forces(params, opts, x, v)
+        f_r = spring_forces(params_r, opts, x, v)
+        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_g),
+                                   rtol=1e-5, atol=1e-2)
+
+
+class TestPairCompaction:
+    def test_pairs_match_padded_path(self, rng):
+        """The compacted-pair impulse must equal the padded (N, K) impulse
+        when the budget holds every candidate."""
+        from real2sim_eval_tpu.physics.spring_mass import (
+            compact_candidate_pairs, self_collision_pairs_impulse)
+
+        # a cluster of particles in contact, distinct masks
+        x0 = (rng.random((40, 3)).astype(np.float32)) * 0.5  # rest: spread out
+        params = make_params(x0, np.zeros((0, 2), np.int32), [],
+                             collide_self_elas=0.7, collide_self_fric=0.4)
+        opts = PhysicsOptions(collision_dist=0.02, max_candidates=8,
+                              max_self_pairs=40 * 8)
+        x = jnp.asarray(rng.random((40, 3)) * 0.05, jnp.float32)  # squeezed
+        v = jnp.asarray(rng.normal(scale=0.5, size=(40, 3)), jnp.float32)
+        ci, cv = build_collision_candidates(params, opts, x)
+        assert bool(cv.any())
+        v_ref = self_collision_impulse(params, opts, x, v, ci, cv)
+        pi, pj, ok = compact_candidate_pairs(opts, x, ci, cv)
+        v_new = self_collision_pairs_impulse(params, opts, x, v, pi, pj, ok)
+        np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref),
+                                   atol=1e-5)
+
+    def test_budget_keeps_nearest(self, rng):
+        from real2sim_eval_tpu.physics.spring_mass import compact_candidate_pairs
+
+        x0 = rng.random((30, 3)).astype(np.float32)
+        params = make_params(x0, np.zeros((0, 2), np.int32), [])
+        opts = PhysicsOptions(collision_dist=0.05, max_candidates=8,
+                              max_self_pairs=4)
+        x = jnp.asarray(rng.random((30, 3)) * 0.03, jnp.float32)
+        ci, cv = build_collision_candidates(params, opts, x)
+        pi, pj, ok = compact_candidate_pairs(opts, x, ci, cv)
+        assert pi.shape == (4,)
+        d_kept = np.linalg.norm(np.asarray(x)[np.asarray(pi)]
+                                - np.asarray(x)[np.asarray(pj)], axis=-1)
+        # kept pairs are among the closest valid ones
+        all_d = np.linalg.norm(np.asarray(x)[:, None] - np.asarray(x)[None],
+                               axis=-1)
+        assert d_kept.max() <= np.sort(all_d[all_d > 0])[:60].max() + 1e-6

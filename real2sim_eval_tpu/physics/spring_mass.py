@@ -7,18 +7,22 @@ deliberate architectural substitutions:
   - CUDA graph capture of the substep loop (spring_mass_warp.py:723-726)
     -> one jitted function containing ``lax.scan`` over substeps.
   - atomic scatter-add of spring forces (eval_springs, :62-104)
-    -> dense per-particle incidence gather (topology.build_incidence):
-      f[p] = sum_d sign[p,d] * spring_force[inc[p,d]]  — no scatters.
+    -> per-particle neighbor tables: one packed gather per substep; for
+      dense topologies optionally an MXU one-hot matmul (exact 3-way bf16
+      split), for chain-like topologies offset-structured jnp.roll's with
+      zero gathers (topology.build_{neighbor,rolled}_tables).
   - wp.HashGrid self-collision candidates rebuilt once per control step
     (update_potential_collision, :196-228; called from phystwin.py:366)
-    -> masked pairwise top-K candidate build once per control step; the
-      per-substep impulse re-checks distance/approach exactly like loop()
-      (:132-193). Resting pairs (:272-291, pairs within 5x collision_dist
-      at rest) are excluded on the fly from the rest positions.
+    -> masked pairwise top-K candidate build + compaction to the nearest
+      active pairs once per control step; the per-substep impulse
+      re-checks distance/approach exactly like loop() (:132-193). Resting
+      pairs (:272-291, within 5x collision_dist at rest) are excluded on
+      the fly from the rest positions.
   - wp.Mesh BVH queries with per-substep refit (mesh_collision, :295-421)
-    -> per-collider SDF grids; dynamic fingers keep a *link-frame* SDF and
-      we transform the query point by the finger's inverse pose, which is
-      exact for rigid fingers.
+    -> per-collider SDF grids (link-frame for fingers; packed cell corners
+      so a query is ONE gather) against a compacted set of particles
+      within conservative reach of any collider (bounding-sphere distance
+      + travel/sweep margins, refreshed per control step).
 
   Faithfully replicated quirks (the PhysTwin checkpoints were calibrated
   under them):

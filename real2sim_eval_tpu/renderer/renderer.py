@@ -213,8 +213,10 @@ class GSRenderer:
                 pose = apply_random_pose(pose, rand)
                 self.random_variables.append(list(rand))
             elif randomize and not use_grid:
+                # global np.random: BaseEnv.reset seeds it per episode
+                # (reference env.py:32), making draws reproducible by seed
                 rand = uniform_random_values(
-                    self._rng, mesh_obj["translation_range"],
+                    np.random, mesh_obj["translation_range"],
                     mesh_obj["azimuth_range"])
                 pose = apply_random_pose(pose, rand)
                 self.random_variables.append(list(rand))
@@ -273,7 +275,7 @@ class GSRenderer:
             pose_obj = apply_random_pose(pose_obj, rand)
             self.random_variables.append(list(rand))
         elif randomize:
-            rand = uniform_random_values(self._rng, obj_cfg["translation_range"],
+            rand = uniform_random_values(np.random, obj_cfg["translation_range"],
                                          obj_cfg["azimuth_range"])
             pose_obj = apply_random_pose(pose_obj, rand)
             self.random_variables.append(list(rand))

@@ -392,3 +392,31 @@ class BatchedEvaluator:
             "physics": {"static_meshes": self._static_mesh_dumps[i],
                         "init_springs": springs},
         } for i in range(self.batch_size)]
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (mid-episode, beyond the reference's episode-level
+    # resumability — SURVEY.md S5 lists no mid-episode resume upstream)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path):
+        """Snapshot the full batched simulation state to disk."""
+        import pickle
+
+        import jax
+
+        host = jax.tree_util.tree_map(lambda a: np.asarray(a), self.state)
+        with open(path, "wb") as f:
+            pickle.dump({"episode_ids": self.episode_ids, "state": host}, f)
+
+    def load_state(self, path):
+        """Restore a snapshot taken by save_state (same episode ids/config)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        assert blob["episode_ids"] == self.episode_ids, \
+            "snapshot belongs to different episodes"
+        import jax
+
+        self.state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
+        return self.state

@@ -127,3 +127,21 @@ class TestMeshSharding:
 
         mean_z = mean_over_envs(ev.state.sm.x[:, :, 2].mean(axis=1))
         assert np.isfinite(float(mean_z))
+
+
+def test_checkpoint_resume_mid_episode(batch_cfg, tmp_path):
+    """Mid-episode save/load must continue bit-identically."""
+    from real2sim_eval_tpu.parallel import BatchedEvaluator
+    from real2sim_eval_tpu.renderer import RasterConfig
+
+    ev = BatchedEvaluator(batch_cfg, episode_ids=[0, 1],
+                          raster_config=RasterConfig(backend="reference"))
+    acts = hold_actions(2)
+    ev.step(acts, do_velocity_control=False)
+    ev.save_state(tmp_path / "snap.pkl")
+    ev.step(acts, do_velocity_control=False)
+    x_expected = np.asarray(ev.state.sm.x)
+
+    ev.load_state(tmp_path / "snap.pkl")
+    ev.step(acts, do_velocity_control=False)
+    np.testing.assert_array_equal(np.asarray(ev.state.sm.x), x_expected)

@@ -189,3 +189,18 @@ def test_create_rigid_phystwin_roundtrip(tmp_path):
     first = ckpt_io.load_first_order(tmp_path / "experiments", "boxcase")
     assert data["object_points"].shape[1] == len(points)
     assert first["num_object_springs"] == len(springs)
+
+
+def test_visualize_rollouts(workspace, monkeypatch):
+    """Grid-image tool over a produced run directory."""
+    root, cfg_dir = workspace
+    import glob
+    run = sorted(glob.glob(str(root / "log/output_eval_policy/*")))[0]
+    import sys
+
+    from real2sim_eval_tpu.experiments.utils import visualize_rollouts as vr
+
+    monkeypatch.setattr(sys, "argv", ["vr", "--data_dir", run])
+    vr.main()
+    grids = sorted(Path(run).glob("start_grid_camera_*.jpg"))
+    assert grids, "no grid images produced"

@@ -311,13 +311,29 @@ def compact_candidate_pairs(opts: PhysicsOptions, x: jax.Array,
     neg, sel = jax.lax.top_k(-score, p)
     pair_i = (sel // k).astype(jnp.int32)
     pair_j = cand_idx.reshape(-1)[sel]
-    return pair_i, pair_j, jnp.isfinite(-neg)
+    pair_ok = jnp.isfinite(-neg)
+    # sort by owning particle so per-substep accumulation is a cumsum +
+    # boundary-gather instead of a scatter (TPU scatters serialize per row)
+    order = jnp.argsort(pair_i)
+    pair_i = pair_i[order]
+    pair_j = pair_j[order]
+    pair_ok = pair_ok[order]
+    lo = jnp.searchsorted(pair_i, jnp.arange(n, dtype=pair_i.dtype),
+                          side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(pair_i, jnp.arange(n, dtype=pair_i.dtype),
+                          side="right").astype(jnp.int32)
+    return pair_i, pair_j, pair_ok, lo, hi
 
 
-def self_collision_pairs_impulse(params, opts, x, v, pair_i, pair_j, pair_ok):
+def self_collision_pairs_impulse(params, opts, x, v, pair_i, pair_j, pair_ok,
+                                 lo=None, hi=None):
     """Per-substep impulse over the compacted pair list (same math as
     loop()/object_collision, spring_mass_warp.py:132-268; the per-particle
-    impulse is the AVERAGE over that particle's hitting candidates)."""
+    impulse is the AVERAGE over that particle's hitting candidates).
+
+    With ``lo``/``hi`` segment boundaries (pairs sorted by pair_i), the
+    per-particle accumulation is an exclusive-cumsum difference — two small
+    gathers instead of a serializing scatter."""
     elas = jnp.clip(params.collide_self_elas, 0.0, 1.0)
     fric = jnp.clip(params.collide_self_fric, 0.0, 2.0)
 
@@ -346,7 +362,13 @@ def self_collision_pairs_impulse(params, opts, x, v, pair_i, pair_j, pair_ok):
 
     n = x.shape[0]
     upd = jnp.concatenate([J, hit.astype(x.dtype)[:, None]], axis=-1)
-    acc = jnp.zeros((n, 4), x.dtype).at[pair_i].add(upd, mode="drop")
+    if lo is not None:
+        cs = jnp.cumsum(upd, axis=0)
+        cs0 = jnp.concatenate([jnp.zeros((1, 4), x.dtype), cs], axis=0)
+        acc = cs0[jnp.concatenate([hi, lo])]
+        acc = acc[:n] - acc[n:]
+    else:
+        acc = jnp.zeros((n, 4), x.dtype).at[pair_i].add(upd, mode="drop")
     J_sum, counts = acc[:, :3], acc[:, 3]
     J_avg = J_sum / jnp.maximum(counts, 1.0)[:, None]
     v_new = v - J_avg / params.masses[:, None]
@@ -664,7 +686,7 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
              state: SpringMassState, ctrl: SubstepControls) -> SpringMassState:
         if opts.self_collision:
             cand_idx, cand_valid = build_collision_candidates(params, opts, state.x)
-            pair_i, pair_j, pair_ok = compact_candidate_pairs(
+            pair_i, pair_j, pair_ok, seg_lo, seg_hi = compact_candidate_pairs(
                 opts, state.x, cand_idx, cand_valid)
 
         if has_colliders:
@@ -714,7 +736,8 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
             v1 = velocity_update(params, opts, v, f)
             if opts.self_collision:
                 v1 = self_collision_pairs_impulse(
-                    params, opts, x, v1, pair_i, pair_j, pair_ok)
+                    params, opts, x, v1, pair_i, pair_j, pair_ok,
+                    seg_lo, seg_hi)
             if has_colliders:
                 T_all, Tinv_all, center = per_step
                 x_adv = x + v1 * opts.dt   # every particle advances

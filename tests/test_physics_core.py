@@ -365,8 +365,8 @@ class TestPairCompaction:
         ci, cv = build_collision_candidates(params, opts, x)
         assert bool(cv.any())
         v_ref = self_collision_impulse(params, opts, x, v, ci, cv)
-        pi, pj, ok = compact_candidate_pairs(opts, x, ci, cv)
-        v_new = self_collision_pairs_impulse(params, opts, x, v, pi, pj, ok)
+        pi, pj, ok, lo, hi = compact_candidate_pairs(opts, x, ci, cv)
+        v_new = self_collision_pairs_impulse(params, opts, x, v, pi, pj, ok, lo, hi)
         np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref),
                                    atol=1e-5)
 
@@ -379,7 +379,7 @@ class TestPairCompaction:
                               max_self_pairs=4)
         x = jnp.asarray(rng.random((30, 3)) * 0.03, jnp.float32)
         ci, cv = build_collision_candidates(params, opts, x)
-        pi, pj, ok = compact_candidate_pairs(opts, x, ci, cv)
+        pi, pj, ok, lo, hi = compact_candidate_pairs(opts, x, ci, cv)
         assert pi.shape == (4,)
         d_kept = np.linalg.norm(np.asarray(x)[np.asarray(pi)]
                                 - np.asarray(x)[np.asarray(pj)], axis=-1)

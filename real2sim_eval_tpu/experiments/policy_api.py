@@ -68,8 +68,12 @@ class HoldPolicy:
         pass
 
     def inference(self, obs_dict):
-        state = np.asarray(obs_dict["observation.state"])
-        return state.reshape(-1, 8).astype(np.float32)
+        state = np.asarray(obs_dict["observation.state"]).astype(np.float32)
+        if state.shape[-1] == 2:  # pusher mode: state is eef (x, y)
+            pad = np.zeros((state.shape[0], 6), np.float32)
+            pad[:, 0] = 0.22  # the caller reads xyz and imposes level height
+            return np.concatenate([state, pad], axis=1)
+        return state.reshape(-1, 8)
 
     def reset(self):
         pass

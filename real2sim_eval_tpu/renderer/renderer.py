@@ -81,8 +81,10 @@ class GSRenderer:
         self.robot = RobotModel(urdf_cfg["collision_urdf_path"],
                                 link_names=list(urdf_cfg["collision_link_names"]))
         self.use_pusher = bool(cfg.env["robot"]["use_pusher"])
+        # pusher configs set this to null (cfg/env/xarm_pusher.yaml) — the
+        # value is only consumed on the gripper path (gs_renderer.py:101-102)
         self.init_gripper_openness_xarm = float(
-            cfg.env["robot"].get("init_gripper_openness", 0.0))
+            cfg.env["robot"].get("init_gripper_openness") or 0.0)
 
         # jitted kinematics on the articulated chain
         chain = self.sample_robot.chain

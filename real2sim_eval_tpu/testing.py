@@ -93,6 +93,16 @@ def reference_xarm_urdf(root="/root/reference/assets/robots/xarm"):
                 collision_link_names=["left_finger", "right_finger"])
 
 
+def reference_xarm_pusher_urdf(root="/root/reference/assets/robots/xarm"):
+    """The reference's pusher-tool URDF set (cfg/env/xarm_pusher.yaml) when
+    available, else None (pusher tests should skip)."""
+    urdf = Path(root) / "xarm7_with_pusher.urdf"
+    if not urdf.exists():
+        return None
+    return dict(ik_urdf_path=str(urdf), collision_urdf_path=str(urdf),
+                collision_link_names=["pusher_base_link"])
+
+
 def env_cfg(use_pusher=False, urdf=None, **overrides):
     base = dict(
         sim=dict(frame_rate=30, duration=30),

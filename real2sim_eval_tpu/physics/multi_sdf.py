@@ -55,8 +55,13 @@ def multi_sdf_query(combo: dict, pts_local: jax.Array):
     cell = ((i0[..., 0] * ny1 + i0[..., 1]) * nz1 + i0[..., 2]
             + combo["cell_offset"][:, None])
     corners = combo["corners"][cell]                       # (C, N, 8) 1 gather
-    c000, c001, c010, c011, c100, c101, c110, c111 = jnp.moveaxis(
-        corners, -1, 0)
+    # last-axis slices (NOT moveaxis: that lowers to a real transpose copy
+    # which breaks the surrounding elementwise fusion — a measurable extra
+    # kernel inside the 667-substep loop)
+    c000, c001, c010, c011 = (corners[..., 0], corners[..., 1],
+                              corners[..., 2], corners[..., 3])
+    c100, c101, c110, c111 = (corners[..., 4], corners[..., 5],
+                              corners[..., 6], corners[..., 7])
 
     c00 = c000 * (1 - fz) + c001 * fz
     c01 = c010 * (1 - fz) + c011 * fz

@@ -142,8 +142,11 @@ def sdf_query(grid: SdfGrid, pts: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     cell = (i0[..., 0] * (ny - 1) + i0[..., 1]) * (nz - 1) + i0[..., 2]
     corners = grid.corners[cell]                    # (..., 8) one N-row gather
-    c000, c001, c010, c011, c100, c101, c110, c111 = jnp.moveaxis(
-        corners, -1, 0)
+    # last-axis slices, not moveaxis (a transpose copy breaks fusion)
+    c000, c001, c010, c011 = (corners[..., 0], corners[..., 1],
+                              corners[..., 2], corners[..., 3])
+    c100, c101, c110, c111 = (corners[..., 4], corners[..., 5],
+                              corners[..., 6], corners[..., 7])
 
     # value
     c00 = c000 * (1 - fz) + c001 * fz

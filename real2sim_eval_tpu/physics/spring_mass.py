@@ -73,6 +73,10 @@ class PhysicsOptions:
     ground_height: float = 0.0
     max_self_pairs: int = 2048       # compacted candidate-pair budget per env
     max_contact_particles: int = 256  # particles tracked against colliders
+    # slot-form self-collision budget (max_self_particles * max_self_slots
+    # keeps the pair form's total capacity, restructured per-particle)
+    max_self_particles: int = 256
+    max_self_slots: int = 8
 
 
 @struct.dataclass
@@ -325,23 +329,106 @@ def compact_candidate_pairs(opts: PhysicsOptions, x: jax.Array,
     return pair_i, pair_j, pair_ok, lo, hi
 
 
+def compact_candidate_slots(opts: PhysicsOptions, x: jax.Array,
+                            cand_idx: jax.Array, cand_valid: jax.Array):
+    """Particle-compacted slot form of the frozen candidate lists.
+
+    Same total budget as the pair form (max_self_particles * max_self_slots
+    == max_self_pairs by default) but the per-substep work becomes ONE
+    (M * (K'+1))-row gather plus a fused per-particle mean over the K'
+    slots — no prefix sum over the pair list and no scatter-add (measured
+    on v5e: the (2P,) gather + cumsum-diff of the pair form cost ~210 +
+    ~145 us per substep at P=2048; the slot form removes the cumsum
+    entirely and halves the gathered rows).
+
+    Per particle the K' nearest valid candidates are kept, then the M
+    particles with the nearest active candidate are kept — semantics match
+    the padded (N, K) evaluation whenever a particle has <= K' candidates
+    and <= M particles are in self-contact (the reference truncates at 500
+    candidates per particle in hash-grid order, spring_mass_warp.py:544-549).
+
+    Returns (sel (M,), slot_idx (M, K'), slot_ok (M, K')).
+    """
+    n, k = cand_idx.shape
+    kp = min(opts.max_self_slots, k)
+    m = min(opts.max_self_particles, n)
+    d = jnp.linalg.norm(x[:, None] - x[cand_idx], axis=-1)        # (N, K)
+    score = jnp.where(cand_valid, d, jnp.inf)
+    neg, slot_local = jax.lax.top_k(-score, kp)                   # (N, K')
+    slot_d = -neg
+    slot_idx_full = jnp.take_along_axis(cand_idx, slot_local, axis=1)
+    slot_ok_full = jnp.isfinite(slot_d)
+    negp, sel = jax.lax.top_k(-slot_d[:, 0], m)                   # (M,)
+    sel_ok = jnp.isfinite(-negp)
+    return (sel.astype(jnp.int32), slot_idx_full[sel],
+            slot_ok_full[sel] & sel_ok[:, None])
+
+
+def self_collision_slots_impulse(params, opts, x, v, sel, slot_idx, slot_ok,
+                                 inv_m_slots, m_sel):
+    """Per-substep impulse over the particle-compacted slot table (math
+    identical to self_collision_impulse / loop()+object_collision,
+    spring_mass_warp.py:132-268: per-particle impulse is the AVERAGE over
+    hitting candidates). ``inv_m_slots`` (M, K') and ``m_sel`` (M,) are
+    hoisted per control step. Returns the updated velocity array."""
+    elas = jnp.clip(params.collide_self_elas, 0.0, 1.0)
+    fric = jnp.clip(params.collide_self_fric, 0.0, 2.0)
+    m, kp = slot_idx.shape
+
+    xv = jnp.concatenate([x, v], axis=-1)                         # (N, 6)
+    rows = jnp.concatenate([sel[:, None], slot_idx], axis=1)      # (M, K'+1)
+    g = xv[rows.reshape(-1)].reshape(m, kp + 1, 6)  # one (M*(K'+1),6) gather
+    xi, vi = g[:, 0, :3], g[:, 0, 3:]
+    xj, vj = g[:, 1:, :3], g[:, 1:, 3:]
+
+    dis = xj - xi[:, None]
+    dis_len = jnp.linalg.norm(dis, axis=-1)
+    rel_v = vj - vi[:, None]
+    hit = slot_ok & (dis_len < opts.collision_dist) \
+        & (jnp.sum(dis * rel_v, axis=-1) < -1e-4)
+
+    normal = dis / jnp.maximum(dis_len, 1e-6)[..., None]
+    vn_mag = jnp.sum(rel_v * normal, axis=-1)
+    v_n = vn_mag[..., None] * normal
+    impulse_n = -(1.0 + elas) * v_n / inv_m_slots[..., None]
+    v_t = rel_v - v_n
+    v_t_len = jnp.maximum(jnp.linalg.norm(v_t, axis=-1), 1e-6)
+    a = jnp.maximum(0.0, 1.0 - fric * (1.0 + elas) * jnp.abs(vn_mag) / v_t_len)
+    impulse_t = (a - 1.0)[..., None] * v_t / inv_m_slots[..., None]
+    J = jnp.where(hit[..., None], impulse_n + impulse_t, 0.0)
+
+    count = jnp.sum(hit, axis=-1).astype(x.dtype)                 # (M,)
+    J_avg = jnp.sum(J, axis=1) / jnp.maximum(count, 1.0)[:, None]
+    v_sel = jnp.where((count > 0)[:, None], vi - J_avg / m_sel[:, None], vi)
+    return v.at[sel].set(v_sel)                         # M-row scatter-set
+
+
 def self_collision_pairs_impulse(params, opts, x, v, pair_i, pair_j, pair_ok,
-                                 lo=None, hi=None):
+                                 lo=None, hi=None, xv=None, pair_inv_m=None):
     """Per-substep impulse over the compacted pair list (same math as
     loop()/object_collision, spring_mass_warp.py:132-268; the per-particle
     impulse is the AVERAGE over that particle's hitting candidates).
 
     With ``lo``/``hi`` segment boundaries (pairs sorted by pair_i), the
     per-particle accumulation is an exclusive-cumsum difference — two small
-    gathers instead of a serializing scatter."""
+    gathers instead of a serializing scatter.
+
+    ``xv`` (N, 6) lets the caller share the [x | v] concat with the spring
+    evaluation; ``pair_inv_m`` (P,) hoists the 1/m_i + 1/m_j term out of
+    the substep loop (pairs and masses are frozen per control step)."""
     elas = jnp.clip(params.collide_self_elas, 0.0, 1.0)
     fric = jnp.clip(params.collide_self_fric, 0.0, 2.0)
 
-    xvm = jnp.concatenate([x, v, params.masses[:, None]], axis=-1)  # (N, 7)
-    g = xvm[jnp.concatenate([pair_i, pair_j])]        # one (2P, 7) gather
+    if xv is None:
+        xv = jnp.concatenate([x, v], axis=-1)                     # (N, 6)
+    g = xv[jnp.concatenate([pair_i, pair_j])]         # one (2P, 6) gather
     gi, gj = jnp.split(g, 2, axis=0)
-    xi, vi, mi = gi[:, :3], gi[:, 3:6], gi[:, 6]
-    xj, vj, mj = gj[:, :3], gj[:, 3:6], gj[:, 6]
+    xi, vi = gi[:, :3], gi[:, 3:6]
+    xj, vj = gj[:, :3], gj[:, 3:6]
+    if pair_inv_m is None:
+        inv_m = 1.0 / params.masses[pair_i] + 1.0 / params.masses[pair_j]
+    else:
+        inv_m = pair_inv_m
 
     dis = xj - xi
     dis_len = jnp.linalg.norm(dis, axis=-1)
@@ -352,7 +439,6 @@ def self_collision_pairs_impulse(params, opts, x, v, pair_i, pair_j, pair_ok,
     normal = dis / jnp.maximum(dis_len, 1e-6)[:, None]
     vn_mag = jnp.sum(rel_v * normal, axis=-1)
     v_n = vn_mag[:, None] * normal
-    inv_m = 1.0 / mi + 1.0 / mj
     impulse_n = -(1.0 + elas) * v_n / inv_m[:, None]
     v_t = rel_v - v_n
     v_t_len = jnp.maximum(jnp.linalg.norm(v_t, axis=-1), 1e-6)
@@ -596,22 +682,30 @@ def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
     dt = opts.dt
     next_x = x + v * dt
 
-    p_local = (jnp.einsum("cij,nj->cni", Tinv_all[:, :3, :3], next_x)
-               + Tinv_all[:, None, :3, 3])
+    # tiny-dim contractions (3x3 rotations, C-way selects) are written as
+    # broadcast-multiply-reduce, NOT einsum/dot: XLA lowers small einsums to
+    # standalone dot_general kernels (~13 us fixed cost each inside the
+    # substep loop) while mul+sum fuses into the neighboring elementwise work
+    p_local = (jnp.sum(Tinv_all[:, None, :3, :3]
+                       * next_x[None, :, None, :], axis=-1)
+               + Tinv_all[:, None, :3, 3])                         # (C, N, 3)
     from .multi_sdf import multi_sdf_query
 
     D, nrm_local = multi_sdf_query(combo, p_local)                 # (C, N)
-    NRM = jnp.einsum("cij,cnj->cni", T_all[:, :3, :3], nrm_local)
+    NRM = jnp.sum(T_all[:, None, :3, :3] * nrm_local[:, :, None, :], axis=-1)
 
     C = D.shape[0]
-    kind_arr = jnp.asarray([1] * n_f + [0] * (C - n_f))
-    fid_arr = jnp.asarray(list(range(n_f)) + [0] * (C - n_f))
-
+    # branch-free nearest-collider select: colliders are ordered fingers
+    # first, so is_dyn/finger fall out of the argmin index with pure
+    # elementwise math. take_along_axis / int-array indexing would each be
+    # a per-row gather op inside the substep loop (TPU gathers serialize
+    # per row AND each one breaks the elementwise fusion).
     best = jnp.argmin(D, axis=0)                                   # (N,)
-    dist = jnp.take_along_axis(D, best[None], axis=0)[0]
-    normal = jnp.take_along_axis(NRM, best[None, :, None], axis=0)[0]
-    is_dyn = kind_arr[best] == 1
-    finger = fid_arr[best]
+    dist = jnp.min(D, axis=0)
+    sel = (best[None] == jnp.arange(C)[:, None]).astype(D.dtype)   # (C, N)
+    normal = jnp.sum(sel[..., None] * NRM, axis=0)
+    is_dyn = best < n_f
+    finger = jnp.minimum(best, max(n_f - 1, 0))
 
     in_range = jnp.abs(dist) < 0.02
     margin = jnp.where(is_dyn & (not opts.use_pusher), 0.005, 0.001)
@@ -620,7 +714,9 @@ def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
     if ok is not None:
         contact = contact & ok
 
-    v_surface = (dyn_lin_vel[jnp.clip(finger, 0, max(n_f - 1, 0))]
+    f_onehot = (finger[None] == jnp.arange(max(n_f, 1))[:, None]
+                ).astype(x.dtype)                              # (n_f, N)
+    v_surface = (jnp.sum(f_onehot[..., None] * dyn_lin_vel[:, None], axis=0)
                  + jnp.cross(dyn_omega[None], x - center[None]))
     v_rel = jnp.where(is_dyn[:, None], v - v_surface, v)
 
@@ -642,17 +738,19 @@ def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
     x_static = next_x - normal * err[:, None]
     next_x2 = x + v_new * dt
     if n_f > 0:
-        p2 = (jnp.einsum("cij,nj->cni", Tinv_all[:n_f, :3, :3], next_x2)
+        p2 = (jnp.sum(Tinv_all[:n_f, None, :3, :3]
+                      * next_x2[None, :, None, :], axis=-1)
               + Tinv_all[:n_f, None, :3, 3])
         # restrict the combined table to the finger prefix (cells of
         # fingers precede statics by construction)
         D2, n2_local = multi_sdf_query(
             {k: (v2[:n_f] if k != "corners" else v2)
              for k, v2 in combo.items()}, p2)
-        N2 = jnp.einsum("cij,cnj->cni", T_all[:n_f, :3, :3], n2_local)
-        fsel = jnp.clip(finger, 0, n_f - 1)
-        d2 = jnp.take_along_axis(D2, fsel[None], axis=0)[0]
-        nrm2 = jnp.take_along_axis(N2, fsel[None, :, None], axis=0)[0]
+        N2 = jnp.sum(T_all[:n_f, None, :3, :3]
+                     * n2_local[:, :, None, :], axis=-1)
+        fsel2 = f_onehot[:n_f]                                 # (n_f, N)
+        d2 = jnp.sum(fsel2 * D2, axis=0)
+        nrm2 = jnp.sum(fsel2[..., None] * N2, axis=0)
         err2 = d2 - margin
         hit2 = (jnp.abs(d2) < 0.02) & (err2 < 0.0)
         x_dyn = jnp.where(hit2[:, None], next_x2 - nrm2 * err2[:, None], next_x2)
@@ -665,8 +763,8 @@ def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
     delta_vn = (v_n_new - v_n) / dt
     force_contrib = jnp.where((contact & is_dyn)[:, None], delta_vn, 0.0)
     if n_f > 0:
-        one_hot = jax.nn.one_hot(jnp.clip(finger, 0, n_f - 1), n_f, dtype=x.dtype)
-        finger_forces = one_hot.T @ force_contrib
+        finger_forces = jnp.sum(f_onehot[:n_f, :, None]
+                                * force_contrib[None], axis=1)
     else:
         finger_forces = jnp.zeros((1, 3), x.dtype)
     return x_out, v_new, finger_forces
@@ -686,8 +784,13 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
              state: SpringMassState, ctrl: SubstepControls) -> SpringMassState:
         if opts.self_collision:
             cand_idx, cand_valid = build_collision_candidates(params, opts, state.x)
-            pair_i, pair_j, pair_ok, seg_lo, seg_hi = compact_candidate_pairs(
+            sc_sel, sc_slot_idx, sc_slot_ok = compact_candidate_slots(
                 opts, state.x, cand_idx, cand_valid)
+            # masses and slots are frozen per control step: hoist the
+            # 1/m_i + 1/m_j term out of the 667-substep loop
+            sc_inv_m = (1.0 / params.masses[sc_sel][:, None]
+                        + 1.0 / params.masses[sc_slot_idx])
+            sc_m_sel = params.masses[sc_sel]
 
         if has_colliders:
             from .multi_sdf import combine_grids, multi_sdf_query
@@ -735,9 +838,9 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
             f = spring_forces(params, opts, x, v)
             v1 = velocity_update(params, opts, v, f)
             if opts.self_collision:
-                v1 = self_collision_pairs_impulse(
-                    params, opts, x, v1, pair_i, pair_j, pair_ok,
-                    seg_lo, seg_hi)
+                v1 = self_collision_slots_impulse(
+                    params, opts, x, v1, sc_sel, sc_slot_idx, sc_slot_ok,
+                    sc_inv_m, sc_m_sel)
             if has_colliders:
                 T_all, Tinv_all, center = per_step
                 x_adv = x + v1 * opts.dt   # every particle advances

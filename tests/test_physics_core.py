@@ -387,3 +387,49 @@ class TestPairCompaction:
         all_d = np.linalg.norm(np.asarray(x)[:, None] - np.asarray(x)[None],
                                axis=-1)
         assert d_kept.max() <= np.sort(all_d[all_d > 0])[:60].max() + 1e-6
+
+
+class TestSlotCompaction:
+    def test_slots_match_padded_path(self, rng):
+        """The slot-form impulse must equal the padded (N, K) impulse when
+        every particle's candidates fit in the slots and all active
+        particles fit in the budget."""
+        from real2sim_eval_tpu.physics.spring_mass import (
+            compact_candidate_slots, self_collision_slots_impulse)
+
+        x0 = (rng.random((40, 3)).astype(np.float32)) * 0.5
+        params = make_params(x0, np.zeros((0, 2), np.int32), [],
+                             collide_self_elas=0.7, collide_self_fric=0.4)
+        opts = PhysicsOptions(collision_dist=0.02, max_candidates=8,
+                              max_self_slots=8, max_self_particles=40)
+        x = jnp.asarray(rng.random((40, 3)) * 0.05, jnp.float32)
+        v = jnp.asarray(rng.normal(scale=0.5, size=(40, 3)), jnp.float32)
+        ci, cv = build_collision_candidates(params, opts, x)
+        assert bool(cv.any())
+        v_ref = self_collision_impulse(params, opts, x, v, ci, cv)
+        sel, sidx, sok = compact_candidate_slots(opts, x, ci, cv)
+        inv_m = (1.0 / params.masses[sel][:, None] + 1.0 / params.masses[sidx])
+        v_new = self_collision_slots_impulse(params, opts, x, v, sel, sidx,
+                                             sok, inv_m, params.masses[sel])
+        np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref),
+                                   atol=1e-5)
+
+    def test_slot_budget_keeps_nearest_particles(self, rng):
+        from real2sim_eval_tpu.physics.spring_mass import (
+            compact_candidate_slots)
+
+        x0 = rng.random((30, 3)).astype(np.float32)
+        params = make_params(x0, np.zeros((0, 2), np.int32), [])
+        opts = PhysicsOptions(collision_dist=0.05, max_candidates=8,
+                              max_self_slots=4, max_self_particles=6)
+        x = jnp.asarray(rng.random((30, 3)) * 0.03, jnp.float32)
+        ci, cv = build_collision_candidates(params, opts, x)
+        sel, sidx, sok = compact_candidate_slots(opts, x, ci, cv)
+        assert sel.shape == (6,) and sidx.shape == (6, 4)
+        # selected particles have the globally nearest active candidates
+        xn = np.asarray(x)
+        d_sel = np.linalg.norm(xn[np.asarray(sel)] - xn[np.asarray(sidx)[:, 0]],
+                               axis=-1)
+        assert np.all(np.asarray(sok)[:, 0])
+        all_d = np.linalg.norm(xn[:, None] - xn[None], axis=-1)
+        assert d_sel.max() <= np.sort(all_d[all_d > 0])[:20].max() + 1e-6

@@ -52,6 +52,8 @@ class RasterConfig:
     max_tiles_per_gaussian: int = 32
     chunk: int = 256                   # gaussians per DMA chunk in the kernel
     interpret: bool = False            # run the Pallas kernel interpreted
+    small_tiles: int = 4               # rect slots scattered for every gaussian
+    max_large: int = 2048              # budget of gaussians with bigger rects
 
 
 def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
@@ -147,7 +149,9 @@ def _composite_pallas(cam: Camera, pre: dict, bg: tuple,
     max_pairs = -(-max_pairs // config.chunk) * config.chunk  # chunk-align
 
     bins = bin_gaussians(pre, n_tiles_x, n_tiles_y, TILE_W, TILE_H,
-                         max_pairs, config.max_tiles_per_gaussian)
+                         max_pairs, config.max_tiles_per_gaussian,
+                         small_tiles=config.small_tiles,
+                         max_large=config.max_large)
 
     # pre-gather sorted pair data:
     # [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth]

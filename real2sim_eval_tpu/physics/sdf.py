@@ -37,6 +37,9 @@ class SdfGrid:
     inv_spacing: jax.Array  # () 1/voxel size
     values: jax.Array      # (nx, ny, nz) signed distance, f32
     corners: jax.Array     # ((nx-1)*(ny-1)*(nz-1), 8) packed cell corners
+    # packed 4^3 blocks for the fused Pallas step's per-chunk patch fetch
+    # (see pack_blocks4); None when built by hand in tests
+    blocks4: jax.Array | None = None
 
     @property
     def shape(self):
@@ -50,6 +53,31 @@ def _pack_corners(values: np.ndarray) -> np.ndarray:
         v[1:, :-1, :-1], v[1:, :-1, 1:], v[1:, 1:, :-1], v[1:, 1:, 1:],
     ], axis=-1)
     return c.reshape(-1, 8).astype(np.float32)
+
+
+def pack_blocks4(values: np.ndarray) -> np.ndarray:
+    """Pack every 4x4x4 block of the grid into one contiguous 64-value row.
+
+    The fused Pallas physics step (physics/pallas_step.py) re-fetches, once
+    per substep-chunk, a local 4^3 SDF patch per contact particle; with this
+    table the fetch is ONE gathered row per (particle, collider) instead of
+    16+ strided rows (TPU gathers cost per ROW, so contiguity is everything).
+    Grids smaller than 4 along an axis are edge-padded.
+    Returns ((nx-3)*(ny-3)*(nz-3), 64) float32 for the padded dims.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    v = np.asarray(values, np.float32)
+    pad = [(0, max(0, 4 - s)) for s in v.shape]
+    if any(p[1] for p in pad):
+        v = np.pad(v, pad, mode="edge")
+    w = sliding_window_view(v, (4, 4, 4))
+    return np.ascontiguousarray(w.reshape(-1, 64)).astype(np.float32)
+
+
+def blocks4_dims(values_shape) -> tuple[int, int, int]:
+    """Grid dims after the >=4 edge-padding pack_blocks4 applies."""
+    return tuple(max(int(s), 4) for s in values_shape)
 
 
 def build_sdf_grid(
@@ -99,6 +127,7 @@ def build_sdf_grid(
         inv_spacing=jnp.asarray(1.0 / voxel_size, jnp.float32),
         values=jnp.asarray(sdf),
         corners=jnp.asarray(_pack_corners(sdf)),
+        blocks4=jnp.asarray(pack_blocks4(sdf)),
     )
 
 

@@ -770,6 +770,38 @@ def mesh_collision_multi(params, opts, combo, n_f, T_all, Tinv_all, center,
     return x_out, v_new, finger_forces
 
 
+def select_contact_particles(opts: PhysicsOptions, combo: dict, x, v, ctrl,
+                             T0):
+    """Contact-particle compaction (once per control step): the
+    ``max_contact_particles`` particles nearest any collider bounding
+    sphere, gated by a conservative reach (query band + 2x particle travel
+    + collider sweep + slack). Shared by the XLA scan path and the fused
+    Pallas path so both compact identically.
+
+    Returns (cand (pm,) i32, cand_ok (pm,) bool)."""
+    import numpy as _np
+
+    dims = combo["dims"]  # (C, 3) static
+    half = (jnp.asarray(_np.asarray(dims) - 1, x.dtype)
+            / combo["inv_spacing"][:, None]) * 0.5
+    center_local = combo["origin"] + half               # (C, 3)
+    R_bound = jnp.linalg.norm(half, axis=-1)            # (C,)
+    centers_w = (jnp.einsum("cij,cj->ci", T0[:, :3, :3], center_local)
+                 + T0[:, :3, 3])
+    d_sphere = (jnp.linalg.norm(
+        x[None] - centers_w[:, None], axis=-1) - R_bound[:, None])
+    d0min = jnp.min(d_sphere, axis=0)
+    horizon = opts.num_substeps * opts.dt
+    travel = 2.0 * jnp.max(jnp.linalg.norm(v, axis=-1)) * horizon
+    sweep = (jnp.linalg.norm(ctrl.eef_vel)
+             + jnp.linalg.norm(ctrl.dyn_lin_vel, axis=-1).max()) * horizon
+    reach = 0.02 + travel + sweep + 0.05
+    pm = min(opts.max_contact_particles, x.shape[0])
+    neg_d, cand = jax.lax.top_k(-d0min, pm)
+    cand_ok = (-neg_d) < reach
+    return cand, cand_ok
+
+
 def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
     """Build the jittable control-step function.
 
@@ -809,27 +841,8 @@ def make_step_fn(opts: PhysicsOptions, has_colliders: bool = True):
             # gripper closing, plus slack.
             # rank particles by distance to collider bounding spheres
             # (well-defined at any range, unlike the grid-limited SDF)
-            import numpy as _np
-
-            dims = combo["dims"]  # (C, 3) static
-            half = (jnp.asarray(_np.asarray(dims) - 1, state.x.dtype)
-                    / combo["inv_spacing"][:, None]) * 0.5
-            center_local = combo["origin"] + half               # (C, 3)
-            R_bound = jnp.linalg.norm(half, axis=-1)            # (C,)
-            T0 = xs[0][0]                                       # (C, 4, 4)
-            centers_w = (jnp.einsum("cij,cj->ci", T0[:, :3, :3], center_local)
-                         + T0[:, :3, 3])
-            d_sphere = (jnp.linalg.norm(
-                state.x[None] - centers_w[:, None], axis=-1) - R_bound[:, None])
-            d0min = jnp.min(d_sphere, axis=0)
-            horizon = opts.num_substeps * opts.dt
-            travel = 2.0 * jnp.max(jnp.linalg.norm(state.v, axis=-1)) * horizon
-            sweep = (jnp.linalg.norm(ctrl.eef_vel)
-                     + jnp.linalg.norm(ctrl.dyn_lin_vel, axis=-1).max()) * horizon
-            reach = 0.02 + travel + sweep + 0.05
-            pm = min(opts.max_contact_particles, state.x.shape[0])
-            neg_d, cand = jax.lax.top_k(-d0min, pm)
-            cand_ok = (-neg_d) < reach
+            cand, cand_ok = select_contact_particles(
+                opts, combo, state.x, state.v, ctrl, xs[0][0])
         else:
             xs = jnp.arange(opts.num_substeps)
 

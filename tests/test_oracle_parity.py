@@ -1,0 +1,213 @@
+"""Framework-vs-oracle parity: diff trajectories against tests/np_oracle.py,
+an independent NumPy transliteration of the reference Warp kernels.
+
+This converts the PARITY.md claims from prose into measured bounds
+(VERDICT round-1 item 5): the golden-trajectory tests guard against drift,
+THESE tests guard against having mis-read the reference in the first place.
+Tolerances: pure particle dynamics matches to f32 noise; mesh-contact
+scenarios absorb the SDF voxelization (2.5 mm grid vs the oracle's analytic
+boxes) — flat faces interpolate exactly, so bounds stay sub-millimeter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import np_oracle as oracle
+from real2sim_eval_tpu.physics.dynamics import GraspState, grasp_update
+from real2sim_eval_tpu.physics.sdf import build_sdf_grid
+from real2sim_eval_tpu.physics.spring_mass import (
+    MeshColliderSet, PhysicsOptions, SpringMassState, SubstepControls,
+    make_step_fn)
+from real2sim_eval_tpu.physics.topology import (build_neighbor_tables,
+                                                build_rolled_tables,
+                                                connect_springs)
+from real2sim_eval_tpu.utils import mesh as meshlib
+
+from test_pallas_step import rope_params, batched_controls
+
+
+def base_opts(**kw):
+    d = dict(dt=5e-5, num_substeps=40, dashpot_damping=100.0,
+             drag_damping=3.0, spring_Y_min=0.0, spring_Y_max=1e5,
+             collision_dist=0.005, reverse_factor=1.0, ground_height=0.0,
+             collide_elas=0.5, collide_fric=0.3, collide_self_elas=0.5,
+             collide_self_fric=0.3, collide_eef_elas=0.0,
+             collide_eef_fric=1.0, self_collision=False, use_pusher=False,
+             n_fingers=0)
+    d.update(kw)
+    return d
+
+
+def run_framework(params, colliders, opts_o, x0, ctrl=None, steps=1):
+    opts = PhysicsOptions(
+        dt=opts_o["dt"], num_substeps=opts_o["num_substeps"],
+        dashpot_damping=opts_o["dashpot_damping"],
+        drag_damping=opts_o["drag_damping"],
+        spring_Y_min=opts_o["spring_Y_min"],
+        spring_Y_max=opts_o["spring_Y_max"],
+        collision_dist=opts_o["collision_dist"],
+        reverse_factor=opts_o["reverse_factor"],
+        self_collision=opts_o["self_collision"],
+        use_pusher=opts_o["use_pusher"],
+        n_fingers=max(opts_o["n_fingers"], 1),
+        max_candidates=16)
+    has = colliders is not None
+    step = jax.jit(make_step_fn(opts, has_colliders=has))
+    n = x0.shape[0]
+    state = SpringMassState(x=jnp.asarray(x0, jnp.float32),
+                            v=jnp.zeros((n, 3), jnp.float32),
+                            finger_forces=jnp.zeros(
+                                (max(opts_o["n_fingers"], 1), 3), jnp.float32))
+    if ctrl is None:
+        ctrl = SubstepControls(
+            eef_xyz=jnp.zeros(3), eef_vel=jnp.zeros(3), eef_rot=jnp.eye(3),
+            eef_rot_vel=jnp.zeros(3), openness_start=jnp.asarray(1.0),
+            openness_end=jnp.asarray(1.0),
+            dyn_lin_vel=jnp.zeros((max(opts_o["n_fingers"], 1), 3)),
+            dyn_omega=jnp.zeros(3))
+    for _ in range(steps):
+        state = step(params, colliders, state, ctrl)
+    return np.asarray(state.x), np.asarray(state.v), \
+        np.asarray(state.finger_forces)
+
+
+def rope_fixture(n=30, fold=False):
+    params, x0 = rope_params(n=n, fold=fold)
+    springs = np.asarray(params.springs)
+    rest = np.asarray(params.rest_lengths)
+    ylog = np.asarray(params.spring_Y_log)
+    return params, x0, springs, rest, ylog
+
+
+class TestOracleParity:
+    def test_springs_gravity_ground(self):
+        params, x0, springs, rest, ylog = rope_fixture()
+        o = base_opts()
+        xf, vf, _ = run_framework(params, None, o, x0, steps=2)
+        x, v = x0.astype(np.float64), np.zeros_like(x0, np.float64)
+        for _ in range(2):
+            x, v, _ = oracle.control_step(
+                x, v, springs, rest, ylog, np.ones(len(x0)),
+                np.arange(len(x0)), np.asarray(params.rest_x), o)
+        np.testing.assert_allclose(xf, x, atol=2e-5)
+        np.testing.assert_allclose(vf, v, atol=2e-3)
+
+    def test_self_collision(self):
+        params, x0, springs, rest, ylog = rope_fixture(fold=True)
+        o = base_opts(self_collision=True)
+        xf, vf, _ = run_framework(params, None, o, x0, steps=2)
+        x, v = x0.astype(np.float64), np.zeros_like(x0, np.float64)
+        for _ in range(2):
+            x, v, _ = oracle.control_step(
+                x, v, springs, rest, ylog, np.ones(len(x0)),
+                np.arange(len(x0)), np.asarray(params.rest_x), o)
+        np.testing.assert_allclose(xf, x, atol=5e-5)
+
+    def test_static_box_contact(self):
+        params, x0, springs, rest, ylog = rope_fixture()
+        box = meshlib.make_box((0.1, 0.1, 0.1))
+        grid = build_sdf_grid(box, voxel_size=0.0025)
+        pose = np.eye(4)
+        pose[:3, 3] = [0.2, 0.0, -0.044]  # top face 6mm under the rope
+        colliders = MeshColliderSet(
+            fingers=(), finger_pose_table=jnp.zeros((1, 101, 4, 4)),
+            statics=(grid,),
+            static_pose=jnp.asarray(pose[None], jnp.float32))
+        o = base_opts(num_substeps=120)
+        xf, vf, _ = run_framework(params, colliders, o, x0, steps=3)
+
+        obox = oracle.BoxCollider((0.05, 0.05, 0.05))
+        x, v = x0.astype(np.float64), np.zeros_like(x0, np.float64)
+        for _ in range(3):
+            x, v, _ = oracle.control_step(
+                x, v, springs, rest, ylog, np.ones(len(x0)),
+                np.arange(len(x0)), np.asarray(params.rest_x), o,
+                colliders=[obox], pose_fn=lambda s: [pose],
+                ctrl=dict(dyn_lin_vel=np.zeros((1, 3)),
+                          dyn_omega=np.zeros(3),
+                          center_fn=lambda s: np.zeros(3)))
+        # contact actually engaged (rope fell onto the box / ground mix)
+        assert float(np.min(x[:, 2])) > -1e-3
+        np.testing.assert_allclose(xf, x, atol=1.2e-3)
+
+    def test_moving_finger_push(self):
+        params, x0, springs, rest, ylog = rope_fixture()
+        fbox = meshlib.make_box((0.04, 0.04, 0.08))
+        grid = build_sdf_grid(fbox, voxel_size=0.0025)
+        table = np.tile(np.eye(4, dtype=np.float32), (1, 101, 1, 1))
+        colliders = MeshColliderSet(
+            fingers=(grid,), finger_pose_table=jnp.asarray(table),
+            statics=(), static_pose=jnp.zeros((0, 4, 4)))
+        o = base_opts(num_substeps=120, n_fingers=1)
+        eef_xyz = np.array([0.2, 0.0, 0.0455 + 0.04])
+        eef_vel = np.array([0.0, 0.0, -0.2])
+        ctrl = SubstepControls(
+            eef_xyz=jnp.asarray(eef_xyz, jnp.float32),
+            eef_vel=jnp.asarray(eef_vel, jnp.float32),
+            eef_rot=jnp.eye(3), eef_rot_vel=jnp.zeros(3),
+            openness_start=jnp.asarray(1.0), openness_end=jnp.asarray(1.0),
+            dyn_lin_vel=jnp.asarray(eef_vel[None] * 0.5, jnp.float32),
+            dyn_omega=jnp.zeros(3))
+        x0_up = x0.copy()
+        x0_up[:, 2] += 0.04
+        xf, vf, ff = run_framework(params, colliders, o, x0_up, ctrl=ctrl,
+                                   steps=2)
+
+        obox = oracle.BoxCollider((0.02, 0.02, 0.04), is_dyn=True, finger=0)
+        dt = o["dt"]
+
+        def pose_fn(s):
+            T = np.eye(4)
+            T[:3, 3] = eef_xyz + eef_vel * (s + 1) * dt
+            return [T]
+
+        def center_fn(s):
+            return eef_xyz + eef_vel * (s + 1) * dt
+
+        x, v = x0_up.astype(np.float64), np.zeros_like(x0, np.float64)
+        for _ in range(2):
+            x, v, ffo = oracle.control_step(
+                x, v, springs, rest, ylog, np.ones(len(x0)),
+                np.arange(len(x0)), np.asarray(params.rest_x), o,
+                colliders=[obox], pose_fn=pose_fn,
+                ctrl=dict(dyn_lin_vel=eef_vel[None] * 0.5,
+                          dyn_omega=np.zeros(3), center_fn=center_fn))
+        assert np.linalg.norm(ffo) > 0.0   # contact happened in the oracle
+        np.testing.assert_allclose(xf, x, atol=1.5e-3)
+        # force direction agrees; the tolerance absorbs voxelized normals
+        # near box edges (forces are last-substep instantaneous values)
+        cosang = np.dot(ff[0], ffo[0]) / (
+            np.linalg.norm(ff[0]) * np.linalg.norm(ffo[0]) + 1e-9)
+        assert cosang > 0.85
+
+
+class TestGraspMachineParity:
+    def test_sequences_match(self):
+        """Drive both grasp machines through close -> hold -> slip ->
+        release and compare openness trajectories exactly."""
+        threshold = 1000.0
+        # (openness_cmd, per-finger force norms)
+        script = [
+            (1.0, (0.0, 0.0)),         # open, no contact
+            (0.6, (50.0, 50.0)),       # closing, weak -> follows cmd
+            (0.5, (2000.0, 1500.0)),   # closing, strong -> hold (grasp)
+            (0.4, (2000.0, 1800.0)),   # still strong -> hold at current
+            (0.3, (500.0, 400.0)),     # grasped but weak -> slip by 0.05
+            (0.3, (50.0, 40.0)),       # both < 100 -> released -> follow
+            (0.8, (0.0, 0.0)),         # opening always follows
+        ]
+        gs = GraspState.create()
+        cur, grasped = None, False
+        for cmd, forces in script:
+            fj = jnp.asarray([[f, 0.0, 0.0] for f in forces], jnp.float32)
+            o_start_j, o_end_j, gs = grasp_update(
+                gs, jnp.asarray(cmd, jnp.float32), fj, threshold)
+            if cur is None:
+                cur = cmd
+            o_start_o, o_end_o, cur, grasped = oracle.grasp_machine(
+                cur, grasped, cmd, np.asarray(forces), threshold)
+            assert abs(float(o_start_j) - o_start_o) < 1e-6, (cmd, forces)
+            assert abs(float(o_end_j) - o_end_o) < 1e-6, (cmd, forces)
+            assert bool(gs.grasped) == grasped, (cmd, forces)

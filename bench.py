@@ -1,16 +1,25 @@
-"""Benchmark: combined physics-step + 480p splat render throughput.
+"""Benchmark: combined physics-step + splat-render throughput, flagship config.
 
-The BASELINE.md north star: batched environments on one chip, each step =
-one 30 Hz control step (667 physics substeps with self-collision + SDF
-contacts) + one 848x480 splat render per env. Reports per-env FPS;
-vs_baseline is against the 60 FPS/env target.
+The honest north-star configuration (BASELINE.md / VERDICT round-1 item 3):
+64 lockstep environments, each control step = 667 physics substeps
+(self-collision + SDF contacts, 30 Hz) followed by the reference's full
+observation render — 2 fixed cameras + 1 wrist camera at 848x480
+(reference: sim/envs/env.py:53-74, cfg/env/xarm_gripper.yaml:22-49).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline = per-env FPS / 60 (the "60 FPS per env at 64 envs" target).
+
+Flags (for component sweeps; the driver runs the default config):
+  --batch N     number of lockstep envs (default 64)
+  --steps N     timed steps (default 5)
+  --check       TPU-gated golden-pixel check of the compiled Pallas
+                compositor against the dense reference backend
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import tempfile
@@ -19,12 +28,30 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-BATCH = 8
-N_STEPS = 10
 TARGET_FPS = 60.0
+CAMERAS = [
+    dict(type="side", h=480, w=848,
+         intr=[427.3, 0.0, 430.0, 0.0, 426.8, 242.8, 0.0, 0.0, 1.0],
+         c2w=[0.005, 0.613, -0.790, 0.883,
+              1.0, -0.004, 0.004, 0.054,
+              -0.001, -0.790, -0.613, 0.398,
+              0.0, 0.0, 0.0, 1.0]),
+    dict(type="side", h=480, w=848,
+         intr=[427.3, 0.0, 430.0, 0.0, 426.8, 242.8, 0.0, 0.0, 1.0],
+         c2w=[-0.707, 0.433, -0.559, 0.70,
+              0.707, 0.433, -0.559, -0.45,
+              0.0, -0.790, -0.613, 0.398,
+              0.0, 0.0, 0.0, 1.0]),
+    dict(type="wrist", h=480, w=848,
+         intr=[427.3, 0.0, 430.0, 0.0, 426.8, 242.8, 0.0, 0.0, 1.0],
+         c2w=[-0.006, -1.0, -0.024, 0.07,
+              1.0, -0.006, -0.010, -0.006,
+              0.010, -0.024, 1.0, 0.031,
+              0.0, 0.0, 0.0, 1.0]),
+]
 
 
-def build_evaluator():
+def build_evaluator(batch):
     import numpy as np
 
     from real2sim_eval_tpu.parallel import BatchedEvaluator
@@ -39,54 +66,115 @@ def build_evaluator():
     gs = make_synthetic_scene(root / "scans", rope_pts=rope, ik_urdf=None,
                               n_table=30000)
     gs["use_grid_randomization"] = True
-    cameras = [dict(
-        type="side", h=480, w=848,
-        intr=[427.3, 0.0, 430.0, 0.0, 426.8, 242.8, 0.0, 0.0, 1.0],
-        c2w=[0.005, 0.613, -0.790, 0.883,
-             1.0, -0.004, 0.004, 0.054,
-             -0.001, -0.790, -0.613, 0.398,
-             0.0, 0.0, 0.0, 1.0])]
-    cfg = full_cfg(root, "bench_rope", gs=gs, cameras=cameras,
+    cfg = full_cfg(root, "bench_rope", gs=gs, cameras=CAMERAS,
                    physics_over=dict(dt=5e-5, self_collision=True))
 
     import jax
 
     backend = "pallas" if jax.default_backend() == "tpu" else "reference"
-    ev = BatchedEvaluator(cfg, episode_ids=list(range(BATCH)),
+    ev = BatchedEvaluator(cfg, episode_ids=list(range(batch)),
                           raster_config=RasterConfig(backend=backend))
     return ev
 
 
+def sync(x):
+    """Force completion: device_get a tiny dependent slice (the axon tunnel's
+    block_until_ready is unreliable — see .claude/skills/verify)."""
+    import numpy as np
+
+    return np.asarray(x.reshape(-1)[:2])
+
+
+def time_loop(fn, out_of, n, warmup=1):
+    for _ in range(warmup):
+        sync(out_of(fn()))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    sync(out_of(r))
+    return (time.perf_counter() - t0) / n
+
+
+def golden_check(ev):
+    """Compiled-Pallas pixel check vs the dense reference backend on env 0
+    of the real bench scene (VERDICT round-1 item 4: the number BENCH
+    reports must come from a code path whose pixels are asserted)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real2sim_eval_tpu.renderer import RasterConfig
+    from real2sim_eval_tpu.renderer.camera import setup_camera
+    from real2sim_eval_tpu.renderer.raster import rasterize, rasterize_batch
+
+    scenes = ev.compose_scenes()
+    cam, w2c = setup_camera(CAMERAS[0]["w"], CAMERAS[0]["h"],
+                            np.asarray(CAMERAS[0]["intr"]).reshape(3, 3),
+                            np.linalg.inv(np.asarray(
+                                CAMERAS[0]["c2w"]).reshape(4, 4)))
+    one = {k: v[:1] for k, v in scenes.items()}
+    rgb_p, depth_p = rasterize_batch(
+        [(cam, jnp.asarray(w2c)[None])], one, 0,
+        config=RasterConfig(backend="pallas"))
+    rgb_r, depth_r = rasterize(
+        cam, jnp.asarray(w2c), one["means3D"][0], one["scales"][0],
+        one["rotations"][0], one["opacities"][0], one["shs"][0][:, :1], 0,
+        config=RasterConfig(backend="reference"))
+    d_rgb = float(jnp.abs(rgb_p[0, 0] - jnp.clip(rgb_r, 0, 1)).max())
+    d_dep = float(jnp.abs(depth_p[0, 0] - depth_r).max())
+    ok = d_rgb < 2e-2 and d_dep < 1e-2
+    print(json.dumps({"metric": "pallas_golden_pixel_check",
+                      "value": 1 if ok else 0,
+                      "unit": f"max|rgb diff|={d_rgb:.2e}, "
+                              f"max|depth diff|={d_dep:.2e}",
+                      "vs_baseline": 1.0 if ok else 0.0}))
+    return ok
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    ev = build_evaluator()
+    ev = build_evaluator(args.batch)
+    B = args.batch
+    if args.check:
+        if not golden_check(ev):
+            sys.exit(1)
+        return
     rot = np.diag([1.0, -1.0, -1.0]).reshape(-1)
     a = np.concatenate([[0.2, 0.0, 0.3], rot, [1.0]])
-    actions = jnp.asarray(np.tile(a, (BATCH, 1)), jnp.float32)
+    actions = jnp.asarray(np.tile(a, (B, 1)), jnp.float32)
 
-    # warm up / compile
-    ev.step(actions, do_velocity_control=False)
-    obs = ev.observations()
-    jax.block_until_ready(obs["images"])
+    # component: physics only
+    t_phys = time_loop(
+        lambda: ev.step(actions, do_velocity_control=False).sm.x,
+        lambda x: x, args.steps)
+    # component: render only (state fixed)
+    t_render = time_loop(lambda: ev.render()[0], lambda x: x, args.steps)
 
-    t0 = time.perf_counter()
-    for _ in range(N_STEPS):
+    # combined
+    def one_step():
         ev.step(actions, do_velocity_control=False)
-        obs = ev.observations()
-    jax.block_until_ready(obs["images"])
-    dt = (time.perf_counter() - t0) / N_STEPS
+        return ev.observations()["images"]
 
-    agg = BATCH / dt                  # total env-steps per second
-    per_env = 1.0 / dt                # steps/s each env advances
+    dt = time_loop(one_step, lambda x: x, args.steps)
+
+    n_cams = len(CAMERAS)
+    agg = B / dt
+    per_env = 1.0 / dt
     result = {
         "metric": "combined_step_render_env_steps_per_s",
         "value": round(agg, 3),
-        "unit": (f"aggregate env-steps/s ({BATCH} lockstep envs; each step = "
-                 f"667 physics substeps + 848x480 splat render; "
-                 f"{per_env:.2f} FPS per env)"),
+        "unit": (f"aggregate env-steps/s ({B} lockstep envs; each step = "
+                 f"667 substeps + {n_cams}x 848x480 renders; "
+                 f"{per_env:.2f} FPS/env; physics {t_phys*1e3:.0f} ms, "
+                 f"render {t_render*1e3:.0f} ms, total {dt*1e3:.0f} ms)"),
         "vs_baseline": round(per_env / TARGET_FPS, 4),
     }
     print(json.dumps(result))

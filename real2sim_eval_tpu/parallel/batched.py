@@ -32,7 +32,7 @@ import numpy as np
 from flax import struct
 
 from ..kinematics import make_ik_fn
-from ..physics.dynamics import GraspState, make_control_core
+from ..physics.dynamics import GraspState
 from ..physics.spring_mass import SpringMassParams, SpringMassState, MeshColliderSet
 from ..renderer import lbs as lbs_mod
 from ..renderer.camera import Camera, setup_camera, wrist_w2c_jax
@@ -56,13 +56,15 @@ class BatchedEvaluator:
     """Build once from a cfg + episode id list, then step/render batched."""
 
     def __init__(self, cfg, episode_ids, raster_config: RasterConfig | None = None,
-                 max_render_gaussians: int | None = None):
+                 max_render_gaussians: int | None = None,
+                 physics_backend: str = "auto"):
         import real2sim_eval_tpu.envs as envs
 
         self.cfg = cfg
         self.episode_ids = list(episode_ids)
         B = len(self.episode_ids)
         self.raster_config = raster_config or RasterConfig()
+        self.physics_backend = physics_backend
 
         env = envs.make(cfg.env_name, max_episode_steps=10 ** 9, cfg=cfg,
                         randomize=True, exp_root=cfg.get("exp_root", "log"),
@@ -105,6 +107,7 @@ class BatchedEvaluator:
                 x=jnp.asarray(np.stack(sm_x)),
                 v=jnp.zeros((B, n, 3), jnp.float32),
                 finger_forces=jnp.zeros((B, self.opts.n_fingers, 3), jnp.float32),
+                telemetry=jnp.zeros((B, 4), jnp.int32),
             ),
             grasp=GraspState(
                 current_openness=jnp.ones((B,), jnp.float32),
@@ -155,20 +158,23 @@ class BatchedEvaluator:
 
     def _build_fns(self):
         opts = self.opts
-        core = make_control_core(opts, self.force_threshold,
-                                 has_colliders=bool(
-                                     self.colliders.fingers
-                                     or self.colliders.statics))
+        has_coll = bool(self.colliders.fingers or self.colliders.statics)
         params0 = self.params
         colliders0 = self.colliders
         centroids = self.finger_centroids
         g_trans = jnp.asarray(self.global_translation)
         fps = self._fps
+        B = self.batch_size
 
-        def env_step(rest_x, static_pose, sm, grasp, grippers, action):
-            params = params0.replace(rest_x=rest_x)
+        from ..physics.dynamics import make_ctrl_builder
+        from ..physics.pallas_step import make_pallas_step_fn, supports_pallas
+        from ..physics.spring_mass import make_step_fn
+
+        build_ctrl = make_ctrl_builder(opts, self.force_threshold)
+
+        def env_pre(static_pose, sm, grasp, grippers, action):
+            """Per-env eef bookkeeping + grasp machine -> SubstepControls."""
             colliders = colliders0.replace(static_pose=static_pose)
-
             eef_xyz = grippers[:3]
             eef_quat = grippers[6:10]
             eef_rot = tf.quat_to_rot(eef_quat)
@@ -182,25 +188,58 @@ class BatchedEvaluator:
             rot_delta = eef_rot @ jnp.linalg.inv(eef_rot_next)
             eef_rot_vel = tf.rot_to_axis_angle(rot_delta) * fps
 
-            x0 = sm.x
-            sm, grasp, openness_end = core(
-                params, colliders, sm, grasp,
-                exyz, eef_rot, eef_vel, eef_rot_vel, openness_cmd, centroids)
-
+            ctrl, grasp, openness_end = build_ctrl(
+                colliders, sm, grasp, exyz, eef_rot, eef_vel, eef_rot_vel,
+                openness_cmd, centroids)
             quat_next = tf.rot_to_quat(eef_rot_next)
-            quat_vel = eef_rot_vel
             new_grippers = jnp.concatenate([
-                eef_xyz_next, eef_vel, quat_next, quat_vel,
+                eef_xyz_next, eef_vel, quat_next, eef_rot_vel,
                 openness_end[None]])
-            return sm, grasp, new_grippers, (sm.x - x0) * fps
+            return ctrl, grasp, new_grippers
 
-        @jax.jit
-        def step(state: BatchedState, actions: jax.Array) -> BatchedState:
-            sm, grasp, grippers, _ = jax.vmap(env_step)(
-                state.rest_x, state.static_pose, state.sm, state.grasp,
-                state.grippers, actions)
-            return state.replace(sm=sm, grasp=grasp, grippers=grippers,
-                                 step=state.step + 1)
+        backend = self.physics_backend
+        if backend == "auto":
+            backend = ("pallas" if (supports_pallas(opts, params0)
+                                    and jax.default_backend() == "tpu")
+                       else "xla")
+        assert backend in ("pallas", "xla"), backend
+        if backend == "pallas" and not supports_pallas(opts, params0):
+            raise ValueError("pallas physics backend requested but the "
+                             "topology/budgets don't support it")
+        self.physics_backend_resolved = backend
+
+        if backend == "pallas":
+            pal_step = make_pallas_step_fn(
+                opts, params0, colliders0 if has_coll else None, batch=B,
+                interpret=jax.default_backend() != "tpu")
+
+            @jax.jit
+            def step(state: BatchedState, actions: jax.Array) -> BatchedState:
+                ctrl_b, grasp, grippers = jax.vmap(env_pre)(
+                    state.static_pose, state.sm, state.grasp,
+                    state.grippers, actions)
+                sm = pal_step(params0, state.static_pose, state.rest_x,
+                              state.sm, ctrl_b)
+                return state.replace(sm=sm, grasp=grasp, grippers=grippers,
+                                     step=state.step + 1)
+        else:
+            step_fn = make_step_fn(opts, has_colliders=has_coll)
+
+            def env_step(rest_x, static_pose, sm, grasp, grippers, action):
+                ctrl, grasp, new_grippers = env_pre(
+                    static_pose, sm, grasp, grippers, action)
+                params = params0.replace(rest_x=rest_x)
+                colliders = colliders0.replace(static_pose=static_pose)
+                sm = step_fn(params, colliders, sm, ctrl)
+                return sm, grasp, new_grippers
+
+            @jax.jit
+            def step(state: BatchedState, actions: jax.Array) -> BatchedState:
+                sm, grasp, grippers = jax.vmap(env_step)(
+                    state.rest_x, state.static_pose, state.sm, state.grasp,
+                    state.grippers, actions)
+                return state.replace(sm=sm, grasp=grasp, grippers=grippers,
+                                     step=state.step + 1)
 
         self._step = step
 
@@ -280,29 +319,74 @@ class BatchedEvaluator:
                               cy=float(k[1][2])), jnp.asarray(e, jnp.float32))
                       for w, h, k, e in self.wrist_cameras]
 
-        @jax.jit
-        def render(state: BatchedState):
-            def one_env(args):
-                rel_pose, x_pred, grippers, qpos7 = args
-                scene, qpos_new = compose(rel_pose, x_pred, grippers, qpos7)
-                ims, depths, wims, wdepths = [], [], [], []
-                for cam, w2c in fixed_cams:
-                    im, d = render_one(scene, cam, jnp.asarray(w2c))
-                    ims.append(im)
-                    depths.append(d)
-                eef_rot = tf.quat_to_rot(grippers[6:10])
-                for cam, eef2c in wrist_cams:
-                    w2c = wrist_w2c_jax(eef2c, grippers[:3], eef_rot)
-                    im, d = render_one(scene, cam, w2c)
-                    wims.append(im)
-                    wdepths.append(d)
-                stack = lambda xs: (jnp.stack(xs) if xs
-                                    else jnp.zeros((0, 1, 1)))
-                return (stack(ims), stack(depths), stack(wims), stack(wdepths),
-                        qpos_new)
+        self._compose = jax.jit(jax.vmap(compose))
 
-            return jax.lax.map(one_env, (state.rel_pose, state.sm.x,
-                                         state.grippers, state.qpos7))
+        raster_backend = rcfg.backend
+        if raster_backend == "auto":
+            raster_backend = ("pallas" if jax.default_backend() == "tpu"
+                              else "reference")
+        uniform_res = len({(c.height, c.width)
+                           for c, _ in fixed_cams + wrist_cams}) <= 1
+
+        if raster_backend == "pallas" and uniform_res and (fixed_cams
+                                                           or wrist_cams):
+            # batched pipeline: vmapped compose + binning, ONE compositor
+            # grid over (env, camera, tile) — no per-env serialization
+            from ..renderer.raster import rasterize_batch
+
+            @jax.jit
+            def render(state: BatchedState):
+                scenes, qpos_new = jax.vmap(compose)(
+                    state.rel_pose, state.sm.x, state.grippers, state.qpos7)
+                B = state.sm.x.shape[0]
+                cam_list = [(cam, jnp.broadcast_to(
+                    jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))
+                    for cam, w2c in fixed_cams]
+                eef_rot = jax.vmap(tf.quat_to_rot)(state.grippers[:, 6:10])
+                for cam, eef2c in wrist_cams:
+                    w2c_b = jax.vmap(wrist_w2c_jax, in_axes=(None, 0, 0))(
+                        eef2c, state.grippers[:, :3], eef_rot)
+                    cam_list.append((cam, w2c_b))
+                rgb, depth = rasterize_batch(cam_list, scenes, sh_deg,
+                                             config=rcfg)
+                nf = len(fixed_cams)
+                ims = jnp.swapaxes(rgb[:nf], 0, 1)
+                depths = jnp.swapaxes(depth[:nf], 0, 1)
+                if wrist_cams:
+                    wims = jnp.swapaxes(rgb[nf:], 0, 1)
+                    wdepths = jnp.swapaxes(depth[nf:], 0, 1)
+                else:
+                    wims = jnp.zeros((B, 0, 1, 1))
+                    wdepths = jnp.zeros((B, 0, 1, 1))
+                if not fixed_cams:
+                    ims = jnp.zeros((B, 0, 1, 1))
+                    depths = jnp.zeros((B, 0, 1, 1))
+                return ims, depths, wims, wdepths, qpos_new
+        else:
+            @jax.jit
+            def render(state: BatchedState):
+                def one_env(args):
+                    rel_pose, x_pred, grippers, qpos7 = args
+                    scene, qpos_new = compose(rel_pose, x_pred, grippers,
+                                              qpos7)
+                    ims, depths, wims, wdepths = [], [], [], []
+                    for cam, w2c in fixed_cams:
+                        im, d = render_one(scene, cam, jnp.asarray(w2c))
+                        ims.append(im)
+                        depths.append(d)
+                    eef_rot = tf.quat_to_rot(grippers[6:10])
+                    for cam, eef2c in wrist_cams:
+                        w2c = wrist_w2c_jax(eef2c, grippers[:3], eef_rot)
+                        im, d = render_one(scene, cam, w2c)
+                        wims.append(im)
+                        wdepths.append(d)
+                    stack = lambda xs: (jnp.stack(xs) if xs
+                                        else jnp.zeros((0, 1, 1)))
+                    return (stack(ims), stack(depths), stack(wims),
+                            stack(wdepths), qpos_new)
+
+                return jax.lax.map(one_env, (state.rel_pose, state.sm.x,
+                                             state.grippers, state.qpos7))
 
         self._render = render
 
@@ -358,6 +442,13 @@ class BatchedEvaluator:
         self.state = self._step(self.state, actions)
         return self.state
 
+    def compose_scenes(self):
+        """Full-scene gaussians per env: dict of (B, N, ...) arrays (plus
+        the updated IK qpos, discarded). For diagnostics/golden checks."""
+        scenes, _ = self._compose(self.state.rel_pose, self.state.sm.x,
+                                  self.state.grippers, self.state.qpos7)
+        return scenes
+
     def render(self):
         """Returns (images (B, C_fixed, 3, H, W), depths, wrist images,
         wrist depths) and updates the cached IK qpos."""
@@ -377,6 +468,21 @@ class BatchedEvaluator:
                                          else None),
             "images": ims, "depths": depths,
             "wrist_images": wims, "wrist_depths": wdepths,
+        }
+
+    def telemetry(self) -> dict:
+        """Saturation counters of the LAST control step (host fetch).
+
+        Keys map SpringMassState.telemetry columns; any nonzero value means
+        a physics budget clipped real work that step (raise the
+        corresponding PhysicsOptions cap). No silent caps — parity with the
+        renderer binning's overflow reporting."""
+        t = np.asarray(self.state.sm.telemetry)
+        return {
+            "self_candidates_dropped": t[:, 0],
+            "self_particles_dropped": t[:, 1],
+            "contact_particles_dropped": t[:, 2],
+            "patch_escapes": t[:, 3],
         }
 
     def particle_states(self) -> np.ndarray:

@@ -48,12 +48,12 @@ TILE_W = 128
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
     backend: str = "auto"              # auto | pallas | reference
-    max_pairs_factor: float = 4.0      # pair buffer = factor * N
-    max_tiles_per_gaussian: int = 32
+    max_pairs_factor: float = 6.0      # pair buffer = factor * N
+    max_tiles_per_gaussian: int = 16   # per-gaussian tile-rect clamp (D)
     chunk: int = 256                   # gaussians per DMA chunk in the kernel
     interpret: bool = False            # run the Pallas kernel interpreted
-    small_tiles: int = 4               # rect slots scattered for every gaussian
-    max_large: int = 2048              # budget of gaussians with bigger rects
+    small_tiles: int = 4               # unused in sort-based binning (compat)
+    max_large: int = 2048              # unused in sort-based binning (compat)
 
 
 def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
@@ -72,6 +72,93 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
     if backend == "reference":
         return _composite_reference(cam, pre, jnp.asarray(bg, jnp.float32))
     return _composite_pallas(cam, pre, bg, config)
+
+
+def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
+                    config: RasterConfig = RasterConfig()):
+    """Render B environments x n_cams cameras in ONE compositor launch.
+
+    The round-1 bottleneck was per-env serial rasterization
+    (parallel/batched.py's lax.map); here preprocess + binning vmap over
+    envs per camera, all pair tables concatenate into one chunk-aligned
+    buffer, and a single Pallas grid covers (env, camera, tile)
+    (VERDICT round-1, next-step 2).
+
+    Args:
+      cam_w2c_list: list over cameras of (Camera, w2c (B, 4, 4)); all
+        cameras must share width/height (the reference renders all views at
+        848x480, cfg/env/xarm_gripper.yaml:22-49).
+      scenes: dict of stacked (B, N, ...) gaussian arrays (means3D, scales,
+        rotations, opacities, shs).
+      config: must resolve to the pallas backend (callers keep the dense
+        reference path for tiny CPU tests).
+    Returns:
+      (rgb (n_cams, B, 3, H, W) clipped, depth (n_cams, B, H, W)).
+    """
+    assert cam_w2c_list, "need at least one camera"
+    cam0 = cam_w2c_list[0][0]
+    h, w = cam0.height, cam0.width
+    for cam, _ in cam_w2c_list:
+        assert (cam.height, cam.width) == (h, w), \
+            "batched render needs uniform camera resolution"
+    B = scenes["means3D"].shape[0]
+    n = scenes["means3D"].shape[1]
+    n_tiles_x = -(-w // TILE_W)
+    n_tiles_y = -(-h // TILE_H)
+    max_pairs = int(config.max_pairs_factor * n)
+    max_pairs = -(-max_pairs // config.chunk) * config.chunk
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+
+    shs = scenes["shs"] if sh_degree > 0 else scenes["shs"][:, :, :1]
+
+    def one(cam):
+        def per_env(w2c, means, scales, quats, opac, sh):
+            pre = preprocess_gaussians(cam, w2c, means, scales, quats, opac,
+                                       sh, sh_degree)
+            bins = bin_gaussians(pre, n_tiles_x, n_tiles_y, TILE_W, TILE_H,
+                                 max_pairs, config.max_tiles_per_gaussian,
+                                 small_tiles=config.small_tiles,
+                                 max_large=config.max_large)
+            order = bins["order"]
+            safe = jnp.minimum(order, n - 1)
+            gathered = jnp.concatenate([
+                pre["xy"][safe], pre["conic"][safe],
+                pre["opacity"][safe, None], pre["rgb"][safe],
+                pre["depth"][safe, None],
+            ], axis=-1).astype(jnp.float32)
+            gathered = jnp.where((order < n)[:, None], gathered, 0.0)
+            from .tile_kernel import pack_pair_table
+            return (pack_pair_table(gathered), bins["tile_starts"],
+                    bins["tile_ends"])
+        return per_env
+
+    datas, starts, ends = [], [], []
+    for cam, w2c_b in cam_w2c_list:
+        d, s, e = jax.vmap(one(cam))(
+            jnp.asarray(w2c_b, jnp.float32), scenes["means3D"],
+            scenes["scales"], scenes["rotations"], scenes["opacities"], shs)
+        datas.append(d)
+        starts.append(s)
+        ends.append(e)
+    data = jnp.concatenate(datas, axis=0)        # (I, n_rows, 128)
+    n_rows = data.shape[1]
+    data = data.reshape(-1, data.shape[-1])
+    starts = jnp.concatenate(starts, axis=0)     # (I, n_tiles)
+    ends = jnp.concatenate(ends, axis=0)
+    inst_off = (jnp.arange(starts.shape[0], dtype=jnp.int32)
+                * (n_rows * 8))[:, None]         # pairs per instance segment
+    starts = starts + inst_off
+    ends = ends + inst_off
+
+    from .tile_kernel import rasterize_tiles_batch
+    rgb, depth = rasterize_tiles_batch(
+        data, starts, ends, n_tiles_x, n_tiles_y, chunk=config.chunk, bg=bg,
+        interpret=config.interpret)
+    n_cams = len(cam_w2c_list)
+    rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(
+        n_cams, B, 3, h, w)
+    depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
+    return rgb, depth
 
 
 # ---------------------------------------------------------------------------

@@ -179,13 +179,17 @@ def make_synthetic_scene(root, rope_pts=None, ik_urdf=None, seed=0,
     obj = _splat_params(pts, np.tile([[0.8, 0.1, 0.1]], (len(pts), 1)))
     save_gaussian_ply(obj, root / "object.ply")
 
-    # scene: a table plane (mask 0) + robot splats on the link origins
+    # scene: a table plane (mask 0) + robot splats on the link origins.
+    # splat size tracks density like real scans do (total plane area / count
+    # with a floor), so dense benchmark scenes get realistic ~3-4 mm splats
+    # instead of giant overlapping ones
     nt = n_table
     table_pts = np.stack([rng.uniform(-0.2, 0.8, nt), rng.uniform(-0.5, 0.5, nt),
                           np.zeros(nt)], -1)
     mask = np.zeros(nt + 0, np.int32)
+    table_scale = float(np.clip(0.2 / np.sqrt(nt), 0.0035, 0.01))
     scene_parts = [_splat_params(table_pts, np.tile([[0.4, 0.35, 0.3]], (nt, 1)),
-                                 scale=0.01)]
+                                 scale=table_scale)]
     masks = [mask]
     if ik_urdf is not None:
         from .kinematics.robot import CANONICAL_ARM_QPOS, RobotModel

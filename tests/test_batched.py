@@ -13,8 +13,9 @@ from fixtures import (TEST_CAMERAS, full_cfg, make_rope_points,
                       make_synthetic_scene, write_fixture_checkpoint)
 
 IK_URDF = Path("/root/reference/assets/robots/xarm/xarm7_with_gripper.urdf")
-pytestmark = pytest.mark.skipif(not IK_URDF.exists(),
-                                reason="reference assets unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not IK_URDF.exists(),
+                                 reason="reference assets unavailable")]
 
 
 @pytest.fixture(scope="module")
@@ -127,6 +128,29 @@ class TestMeshSharding:
 
         mean_z = mean_over_envs(ev.state.sm.x[:, :, 2].mean(axis=1))
         assert np.isfinite(float(mean_z))
+
+
+def test_pallas_physics_backend_matches_xla(batch_cfg):
+    """BatchedEvaluator with the fused Pallas physics step (interpret mode
+    on CPU) must track the XLA scan backend."""
+    from real2sim_eval_tpu.parallel import BatchedEvaluator
+    from real2sim_eval_tpu.renderer import RasterConfig
+
+    evs = {}
+    for backend in ("xla", "pallas"):
+        ev = BatchedEvaluator(batch_cfg, episode_ids=[0, 1],
+                              raster_config=RasterConfig(backend="reference"),
+                              physics_backend=backend)
+        assert ev.physics_backend_resolved == backend
+        for _ in range(2):
+            ev.step(hold_actions(2), do_velocity_control=False)
+        evs[backend] = ev
+    np.testing.assert_allclose(
+        np.asarray(evs["pallas"].state.sm.x), np.asarray(evs["xla"].state.sm.x),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(evs["pallas"].state.grippers),
+        np.asarray(evs["xla"].state.grippers), atol=1e-5)
 
 
 def test_checkpoint_resume_mid_episode(batch_cfg, tmp_path):

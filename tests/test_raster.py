@@ -80,6 +80,7 @@ class TestPreprocess:
         np.testing.assert_allclose(pre["xy"][0], [29.5, 49.5], atol=1e-4)
 
 
+@pytest.mark.slow
 class TestReferenceCompositor:
     def test_single_gaussian_center_alpha(self):
         cam = simple_cam()
@@ -134,6 +135,7 @@ class TestReferenceCompositor:
         np.testing.assert_allclose(depth[cy, cx], 2.0, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestPallasBackendEquivalence:
     @pytest.mark.parametrize("seed", [0, 1])
     def test_random_scene_matches_reference(self, seed):
@@ -164,6 +166,51 @@ class TestPallasBackendEquivalence:
                                    atol=2e-3)
         np.testing.assert_allclose(np.asarray(pal_depth), np.asarray(ref_depth),
                                    atol=1e-3)
+
+    def test_batched_instances_match_reference(self):
+        """rasterize_batch (one kernel over env x cam x tile) must agree
+        with per-instance dense rendering."""
+        from real2sim_eval_tpu.renderer.raster import rasterize_batch
+
+        rng = np.random.default_rng(7)
+        B, n = 2, 50
+        cam_a = simple_cam(w=256, h=64, f=80.0)
+        cam_b = Camera(width=256, height=64, fx=95.0, fy=95.0, cx=120.0,
+                       cy=30.0, z_threshold=0.05)
+        w2c_b = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        w2c_b[1, 0, 3] = 0.15    # second env: shifted camera
+        scenes = {
+            "means3D": jnp.asarray(np.stack([np.stack([
+                rng.uniform(-1, 1, n), rng.uniform(-0.4, 0.4, n),
+                rng.uniform(0.5, 3.0, n)], -1) for _ in range(B)]),
+                jnp.float32),
+            "scales": jnp.asarray(rng.uniform(0.01, 0.08, (B, n, 3)),
+                                  jnp.float32),
+            "rotations": jnp.asarray(np.tile([1.0, 0, 0, 0], (B, n, 1)),
+                                     jnp.float32),
+            "opacities": jnp.asarray(rng.uniform(0.1, 1.0, (B, n)),
+                                     jnp.float32),
+            "shs": jnp.asarray(rng.uniform(-0.5, 0.5, (B, n, 1, 3)),
+                               jnp.float32),
+        }
+        cfg = RasterConfig(backend="pallas", interpret=True,
+                           max_pairs_factor=8.0, max_tiles_per_gaussian=16)
+        rgb, depth = rasterize_batch(
+            [(cam_a, jnp.asarray(w2c_b)), (cam_b, jnp.asarray(w2c_b))],
+            scenes, 0, config=cfg)
+        assert rgb.shape == (2, B, 3, 64, 256)
+        for ci, cam in enumerate((cam_a, cam_b)):
+            for b in range(B):
+                ref_rgb, ref_depth = rasterize(
+                    cam, jnp.asarray(w2c_b[b]), scenes["means3D"][b],
+                    scenes["scales"][b], scenes["rotations"][b],
+                    scenes["opacities"][b], scenes["shs"][b], 0,
+                    config=RasterConfig(backend="reference"))
+                np.testing.assert_allclose(
+                    np.asarray(rgb[ci, b]),
+                    np.asarray(jnp.clip(ref_rgb, 0.0, 1.0)), atol=2e-3)
+                np.testing.assert_allclose(np.asarray(depth[ci, b]),
+                                           np.asarray(ref_depth), atol=1e-3)
 
     def test_wide_image_padding_cropped(self):
         cam = simple_cam(w=200, h=50)  # not multiples of tile dims

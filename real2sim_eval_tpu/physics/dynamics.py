@@ -103,6 +103,57 @@ def grasp_update(
     return openness_start, openness_end, new_state
 
 
+def make_ctrl_builder(opts: PhysicsOptions, force_threshold: float):
+    """Per-env control construction shared by the XLA and Pallas step paths.
+
+    builder(colliders, sm_state, grasp_state, eef_xyz, eef_rot, eef_vel,
+            eef_rot_vel, openness_cmd, finger_centroids)
+      -> (SubstepControls, new GraspState, openness_end)
+    """
+    n_sub = opts.num_substeps
+    dt = opts.dt
+
+    def build(colliders, sm_state, grasp_state,
+              eef_xyz, eef_rot, eef_vel, eef_rot_vel, openness_cmd,
+              finger_centroids):
+        if opts.use_pusher:
+            o_start = o_end = jnp.asarray(1.0, eef_xyz.dtype)
+            new_grasp = GraspState(
+                current_openness=jnp.asarray(1.0, eef_xyz.dtype),
+                grasped=jnp.asarray(False), initialized=jnp.asarray(True))
+            closing_vel = jnp.zeros((opts.n_fingers, 3), eef_xyz.dtype)
+        else:
+            o_start, o_end, new_grasp = grasp_update(
+                grasp_state, openness_cmd, sm_state.finger_forces,
+                force_threshold)
+            # closing velocity: world-frame finger-centroid displacement over
+            # the openness change, averaged and halved (phystwin.py:441-448)
+            from .spring_mass import _interp_finger_pose
+
+            T0 = _interp_finger_pose(colliders.finger_pose_table, o_start)
+            T1 = _interp_finger_pose(colliders.finger_pose_table, o_end)
+            c0 = jnp.einsum("fij,fj->fi", T0[:, :3, :3],
+                            finger_centroids) + T0[:, :3, 3]
+            c1 = jnp.einsum("fij,fj->fi", T1[:, :3, :3],
+                            finger_centroids) + T1[:, :3, 3]
+            delta_eef = c1 - c0                               # (n_f, 3)
+            delta_world = delta_eef @ eef_rot.T               # rotate to world
+            closing_vel = delta_world / (2.0 * dt * n_sub)
+
+        dyn_lin_vel = eef_vel[None] * 0.5 + closing_vel       # (n_f, 3)
+        dyn_omega = -eef_rot_vel * 0.5                        # (3,)
+
+        ctrl = SubstepControls(
+            eef_xyz=eef_xyz, eef_vel=eef_vel, eef_rot=eef_rot,
+            eef_rot_vel=eef_rot_vel,
+            openness_start=o_start, openness_end=o_end,
+            dyn_lin_vel=dyn_lin_vel, dyn_omega=dyn_omega,
+        )
+        return ctrl, new_grasp, o_end
+
+    return build
+
+
 def make_control_core(opts: PhysicsOptions, force_threshold: float,
                       has_colliders: bool = True):
     """Build the jitted per-control-step core.
@@ -116,42 +167,14 @@ def make_control_core(opts: PhysicsOptions, force_threshold: float,
     phystwin.py:441-448).
     """
     step_fn = make_step_fn(opts, has_colliders=has_colliders)
-    n_sub = opts.num_substeps
-    dt = opts.dt
+    build = make_ctrl_builder(opts, force_threshold)
 
     def core(params, colliders, sm_state, grasp_state,
              eef_xyz, eef_rot, eef_vel, eef_rot_vel, openness_cmd,
              finger_centroids):
-        if opts.use_pusher:
-            o_start = o_end = jnp.asarray(1.0, eef_xyz.dtype)
-            new_grasp = GraspState(
-                current_openness=jnp.asarray(1.0, eef_xyz.dtype),
-                grasped=jnp.asarray(False), initialized=jnp.asarray(True))
-            closing_vel = jnp.zeros((opts.n_fingers, 3), eef_xyz.dtype)
-        else:
-            o_start, o_end, new_grasp = grasp_update(
-                grasp_state, openness_cmd, sm_state.finger_forces, force_threshold)
-            # closing velocity: world-frame finger-centroid displacement over
-            # the openness change, averaged and halved (phystwin.py:441-448)
-            from .spring_mass import _interp_finger_pose
-
-            T0 = _interp_finger_pose(colliders.finger_pose_table, o_start)
-            T1 = _interp_finger_pose(colliders.finger_pose_table, o_end)
-            c0 = jnp.einsum("fij,fj->fi", T0[:, :3, :3], finger_centroids) + T0[:, :3, 3]
-            c1 = jnp.einsum("fij,fj->fi", T1[:, :3, :3], finger_centroids) + T1[:, :3, 3]
-            delta_eef = c1 - c0                               # (n_f, 3) eef frame
-            delta_world = delta_eef @ eef_rot.T               # rotate to world
-            closing_vel = delta_world / (2.0 * dt * n_sub)
-
-        dyn_lin_vel = eef_vel[None] * 0.5 + closing_vel       # (n_f, 3)
-        dyn_omega = -eef_rot_vel * 0.5                        # (3,)
-
-        ctrl = SubstepControls(
-            eef_xyz=eef_xyz, eef_vel=eef_vel, eef_rot=eef_rot,
-            eef_rot_vel=eef_rot_vel,
-            openness_start=o_start, openness_end=o_end,
-            dyn_lin_vel=dyn_lin_vel, dyn_omega=dyn_omega,
-        )
+        ctrl, new_grasp, o_end = build(
+            colliders, sm_state, grasp_state, eef_xyz, eef_rot, eef_vel,
+            eef_rot_vel, openness_cmd, finger_centroids)
         new_sm = step_fn(params, colliders, sm_state, ctrl)
         return new_sm, new_grasp, o_end
 

@@ -73,15 +73,19 @@ def supports_pallas(opts: PhysicsOptions, params: SpringMassParams) -> bool:
             and opts.max_self_slots >= 1)
 
 
-def best_chunk(n_substeps: int, max_k: int = 32) -> int:
-    """Largest divisor of n_substeps <= max_k (kernel chunk length K).
+def best_chunk(n_substeps: int, max_k: int = 32) -> tuple[int, int, int]:
+    """Chunking of the substep loop: (K, n_full_chunks, remainder).
 
-    K bounds per-chunk particle travel (the SDF patch budget is ~1 voxel =
-    2.5 mm): at K=29, dt=5e-5, a 1 m/s relative speed moves 1.45 mm."""
-    for k in range(min(max_k, n_substeps), 0, -1):
-        if n_substeps % k == 0:
-            return k
-    return 1
+    Prefers the largest divisor of n_substeps <= max_k (one compiled kernel,
+    e.g. 667 -> 29x23); falls back to fixed-K chunks plus one remainder
+    kernel when the best divisor is small (prime-ish counts). K bounds
+    per-chunk particle travel (the SDF patch budget is ~1 voxel = 2.5 mm):
+    at K=29, dt=5e-5, a 1 m/s relative speed moves 1.45 mm."""
+    max_k = min(max_k, n_substeps)
+    for k in range(max_k, 0, -1):
+        if n_substeps % k == 0 and k >= max_k // 2:
+            return k, n_substeps // k, 0
+    return max_k, n_substeps // max_k, n_substeps % max_k
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +215,7 @@ def _kernel(st: _Static, scal_ref,
             minv_ref, rrest_ref, ry_ref, rdamp_ref,
             schi_ref, sclo_ref, scok_ref, scinvm_ref, scminv_ref, scinv_ref,
             cdhi_ref, cdlo_ref, cdok_ref, cdinv_ref,
-            trc_ref, dyn_ref, pv_ref, porg_ref,
+            trc_ref, dyn_ref, pv_ref, porg_ref, ffi_ref,
             xo_ref, yo_ref, zo_ref, vxo_ref, vyo_ref, vzo_ref, ff_ref):
     opts = st.opts
     Np = st.Np
@@ -413,13 +417,17 @@ def _kernel(st: _Static, scal_ref,
                       + rows[:, 17:18] * gzm)
                 wz = (rows[:, 18:19] * gxm + rows[:, 19:20] * gym
                       + rows[:, 20:21] * gzm)
-                return val, wx, wy, wz
+                return val, wx, wy, wz, esc
 
             ds_, ns_ = [], []
+            esc_cnt = jnp.zeros((EPP, 1), jnp.float32)
             for c in range(C):
-                val, wx, wy, wz = query(c, nxx, nxy, nxz)
+                val, wx, wy, wz, esc = query(c, nxx, nxy, nxz)
                 ds_.append(val)
                 ns_.append((wx, wy, wz))
+                # telemetry: in-reach candidates whose query left the patch
+                esc_cnt = esc_cnt + jnp.sum(
+                    esc.astype(x.dtype) * cd_ok, axis=1, keepdims=True)
             dist = ds_[0]
             best = jnp.zeros_like(dist, dtype=jnp.int32)
             for c in range(1, C):
@@ -500,7 +508,7 @@ def _kernel(st: _Static, scal_ref,
             if n_f > 0:
                 d2 = g2x = g2y = g2z = None
                 for c in range(n_f):
-                    v2, w2x, w2y, w2z = query(c, n2x, n2y, n2z)
+                    v2, w2x, w2y, w2z, _ = query(c, n2x, n2y, n2z)
                     if d2 is None:
                         d2, g2x, g2y, g2z = v2, w2x, w2y, w2z
                     else:
@@ -535,7 +543,9 @@ def _kernel(st: _Static, scal_ref,
                                       keepdims=True))
                 fparts.append(jnp.sum(mf * (vnnz - vnz) * inv_dt, axis=1,
                                       keepdims=True))
-            fparts.append(jnp.zeros((EPP, 32 - 3 * max(n_f, 1)), x.dtype))
+            fparts.append(jnp.zeros((EPP, 30 - 3 * max(n_f, 1)), x.dtype))
+            fparts.append(ff[:, 30:31] + esc_cnt)    # patch-escape counter
+            fparts.append(jnp.zeros((EPP, 1), x.dtype))
             ff = jnp.concatenate(fparts, axis=1)
 
             sx, sy, sz, svx, svy, svz = _gather_lanes(
@@ -574,7 +584,7 @@ def _kernel(st: _Static, scal_ref,
         return xo, yo, zo, vxo, vyo, vzo, ff
 
     init = (x_ref[:], y_ref[:], z_ref[:], vx_ref[:], vy_ref[:], vz_ref[:],
-            jnp.zeros((EPP, 32), jnp.float32))
+            ffi_ref[:])
     x, y, z, vx, vy, vz, ff = jax.lax.fori_loop(0, st.K, substep, init)
     xo_ref[:] = x
     yo_ref[:] = y
@@ -617,6 +627,7 @@ def _build_pallas_chunk(st: _Static, G: int, O: int, interpret: bool):
         sh2(32),                                               # dyn vel rows
         g3((G, C * 64, EPP, PM)),                              # patches
         g3((G, C * 3, EPP, PM)),                               # patch origins
+        sh2(32),                                               # ff carry in
     ]
     out_specs = [sh2(Np)] * 6 + [sh2(32)]
     out_shape = ([jax.ShapeDtypeStruct((B, Np), jnp.float32)] * 6
@@ -689,8 +700,7 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
     M = min(opts.max_self_particles, Np)
     Ks = min(opts.max_self_slots, min(opts.max_candidates, N))
     PM = min(opts.max_contact_particles, Np)
-    K = best_chunk(opts.num_substeps, max_chunk)
-    n_chunks = opts.num_substeps // K
+    K, n_full, rem = best_chunk(opts.num_substeps, max_chunk)
 
     grids: list[SdfGrid] = (list(colliders.fingers) + list(colliders.statics)
                             if has_colliders else [])
@@ -717,11 +727,15 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
         grid_origin = jnp.asarray(origin, jnp.float32)         # (C, 3)
         grid_isp = jnp.asarray(inv_sp, jnp.float32)            # (C,)
 
-    st = _Static(opts=opts, K=K, Np=Np, offsets=offsets, n_f=n_f, C=C,
-                 inv_spacing=inv_sp, origin=origin, M=M, Ks=Ks, PM=PM,
-                 has_colliders=has_colliders,
-                 self_collision=bool(opts.self_collision))
-    chunk_call = _build_pallas_chunk(st, G, O, interpret)
+    def mk_static(k):
+        return _Static(opts=opts, K=k, Np=Np, offsets=offsets, n_f=n_f, C=C,
+                       inv_spacing=inv_sp, origin=origin, M=M, Ks=Ks, PM=PM,
+                       has_colliders=has_colliders,
+                       self_collision=bool(opts.self_collision))
+
+    chunk_call = _build_pallas_chunk(mk_static(K), G, O, interpret)
+    chunk_call_rem = (_build_pallas_chunk(mk_static(rem), G, O, interpret)
+                      if rem else None)
 
     pad_lane = Np - N
     pad_env = Bp - B
@@ -774,12 +788,17 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
                 for i in range(3)]
 
         # ---- per-control-step freezes (same fns as the XLA scan path) -----
+        tele = jnp.zeros((Bp, 4), jnp.int32)
         if opts.self_collision:
             def freeze_one(x_e, rest_e):
                 p_e = params.replace(rest_x=rest_e)
-                ci, cv = build_collision_candidates(p_e, opts, x_e)
-                return compact_candidate_slots(opts, x_e, ci, cv)
-            sel, sidx, sok = jax.vmap(freeze_one)(xb, restb)
+                ci, cv, n_drop_c = build_collision_candidates(p_e, opts, x_e)
+                sel_e, sidx_e, sok_e, n_drop_p = compact_candidate_slots(
+                    opts, x_e, ci, cv)
+                return sel_e, sidx_e, sok_e, n_drop_c, n_drop_p
+            sel, sidx, sok, n_drop_c, n_drop_p = jax.vmap(freeze_one)(
+                xb, restb)
+            tele = tele.at[:, 0].set(n_drop_c).at[:, 1].set(n_drop_p)
             sel, sel_ok = _pad_ids(sel, jnp.ones(sel.shape, bool), M, N)
             kp = sidx.shape[-1]
             if kp < Ks:
@@ -825,7 +844,9 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
             def cand_one(x_e, v_e, ctrl_e, T0_e):
                 return select_contact_particles(opts, combo_meta, x_e, v_e,
                                                 ctrl_e, T0_e)
-            cand, cand_ok = jax.vmap(cand_one)(xb, vb, ctrl_p, T_all[:, 0])
+            cand, cand_ok, n_drop_ct = jax.vmap(cand_one)(
+                xb, vb, ctrl_p, T_all[:, 0])
+            tele = tele.at[:, 2].set(n_drop_ct)
             cand, cand_ok = _pad_ids(cand, cand_ok, PM, N)
             cd_hi = (cand // LANE).astype(jnp.int32)
             cd_lo = (cand % LANE).astype(jnp.int32)
@@ -892,35 +913,41 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
             og = jnp.transpose(og, (1, 0, 2, 3))
             return pv, og
 
-        def chunk(carry, ci):
+        def run_chunk(call, k, carry, s0):
             xs, ys, zs, vxs, vys, vzs, ff = carry
-            s0 = ci * K
             if has_colliders:
                 pv, og = build_patches(xs, ys, zs, s0)
                 trc_c = jax.lax.dynamic_slice_in_dim(
-                    trc, s0 * C * EPP, K * C * EPP, axis=1)
+                    trc, s0 * C * EPP, k * C * EPP, axis=1)
             else:
                 pv = jnp.zeros((G, C * 64, EPP, PM), jnp.float32)
                 og = jnp.zeros((G, C * 3, EPP, PM), jnp.float32)
-                trc_c = jnp.zeros((G, K * C * EPP, 32), jnp.float32)
-            outs = chunk_call(scal, xs, ys, zs, vxs, vys, vzs,
-                              minv, rrest, ryt, rdamp,
-                              sc_hi, sc_lo, sok_sm.astype(jnp.float32),
-                              sc_invm, sc_minv, sc_inv,
-                              cd_hi, cd_lo, cand_ok.astype(jnp.float32),
-                              cd_inv, trc_c, dyn_rows, pv, og)
-            return tuple(outs), None
+                trc_c = jnp.zeros((G, k * C * EPP, 32), jnp.float32)
+            outs = call(scal, xs, ys, zs, vxs, vys, vzs,
+                        minv, rrest, ryt, rdamp,
+                        sc_hi, sc_lo, sok_sm.astype(jnp.float32),
+                        sc_invm, sc_minv, sc_inv,
+                        cd_hi, cd_lo, cand_ok.astype(jnp.float32),
+                        cd_inv, trc_c, dyn_rows, pv, og, ff)
+            return tuple(outs)
 
         ff0 = jnp.zeros((Bp, 32), jnp.float32)
         carry = tuple(coords) + tuple(vels) + (ff0,)
-        carry, _ = jax.lax.scan(chunk, carry,
-                                jnp.arange(n_chunks, dtype=jnp.int32))
+        carry, _ = jax.lax.scan(
+            lambda c, ci: (run_chunk(chunk_call, K, c, ci * K), None),
+            carry, jnp.arange(n_full, dtype=jnp.int32))
+        if rem:
+            carry = run_chunk(chunk_call_rem, rem, carry,
+                              jnp.asarray(n_full * K, jnp.int32))
         xs, ys, zs, vxs, vys, vzs, ff = carry
 
         x_out = jnp.stack([xs[:B, :N], ys[:B, :N], zs[:B, :N]], axis=-1)
         v_out = jnp.stack([vxs[:B, :N], vys[:B, :N], vzs[:B, :N]], axis=-1)
         nf_out = state.finger_forces.shape[-2]
         ff_out = ff[:B, :3 * nf_out].reshape(B, nf_out, 3)
-        return SpringMassState(x=x_out, v=v_out, finger_forces=ff_out)
+        # patch escapes accumulate in ff lane 30 inside the kernel
+        tele_out = tele.at[:, 3].set(ff[:Bp, 30].astype(jnp.int32))[:B]
+        return SpringMassState(x=x_out, v=v_out, finger_forces=ff_out,
+                               telemetry=tele_out)
 
     return step

@@ -166,7 +166,7 @@ class TestSelfCollision:
         params = self._two_particle_params()
         opts = PhysicsOptions(collision_dist=0.01, max_candidates=4)
         x = jnp.array([[0.0, 0, 0], [0.005, 0, 0]])  # within collision_dist
-        idx, valid = build_collision_candidates(params, opts, x)
+        idx, valid, _ = build_collision_candidates(params, opts, x)
         assert bool(valid[0].any()) and bool(valid[1].any())
 
         v = jnp.array([[1.0, 0, 0], [-1.0, 0, 0]])  # head-on approach
@@ -178,14 +178,14 @@ class TestSelfCollision:
         x0 = np.array([[0.0, 0, 0], [0.004, 0, 0]], np.float32)  # close at rest
         params = make_params(x0, np.zeros((0, 2), np.int32), [])
         opts = PhysicsOptions(collision_dist=0.005)
-        idx, valid = build_collision_candidates(params, opts, jnp.asarray(x0))
+        idx, valid, _ = build_collision_candidates(params, opts, jnp.asarray(x0))
         assert not bool(valid.any())
 
     def test_separating_pair_no_impulse(self):
         params = self._two_particle_params()
         opts = PhysicsOptions(collision_dist=0.01, max_candidates=4)
         x = jnp.array([[0.0, 0, 0], [0.005, 0, 0]])
-        idx, valid = build_collision_candidates(params, opts, x)
+        idx, valid, _ = build_collision_candidates(params, opts, x)
         v = jnp.array([[-1.0, 0, 0], [1.0, 0, 0]])  # separating
         v2 = self_collision_impulse(params, opts, x, v, idx, valid)
         np.testing.assert_allclose(v2, v)
@@ -348,6 +348,7 @@ class TestMatmulGather:
 
 
 class TestPairCompaction:
+    @pytest.mark.slow
     def test_pairs_match_padded_path(self, rng):
         """The compacted-pair impulse must equal the padded (N, K) impulse
         when the budget holds every candidate."""
@@ -362,7 +363,7 @@ class TestPairCompaction:
                               max_self_pairs=40 * 8)
         x = jnp.asarray(rng.random((40, 3)) * 0.05, jnp.float32)  # squeezed
         v = jnp.asarray(rng.normal(scale=0.5, size=(40, 3)), jnp.float32)
-        ci, cv = build_collision_candidates(params, opts, x)
+        ci, cv, _ = build_collision_candidates(params, opts, x)
         assert bool(cv.any())
         v_ref = self_collision_impulse(params, opts, x, v, ci, cv)
         pi, pj, ok, lo, hi = compact_candidate_pairs(opts, x, ci, cv)
@@ -378,7 +379,7 @@ class TestPairCompaction:
         opts = PhysicsOptions(collision_dist=0.05, max_candidates=8,
                               max_self_pairs=4)
         x = jnp.asarray(rng.random((30, 3)) * 0.03, jnp.float32)
-        ci, cv = build_collision_candidates(params, opts, x)
+        ci, cv, _ = build_collision_candidates(params, opts, x)
         pi, pj, ok, lo, hi = compact_candidate_pairs(opts, x, ci, cv)
         assert pi.shape == (4,)
         d_kept = np.linalg.norm(np.asarray(x)[np.asarray(pi)]
@@ -404,10 +405,10 @@ class TestSlotCompaction:
                               max_self_slots=8, max_self_particles=40)
         x = jnp.asarray(rng.random((40, 3)) * 0.05, jnp.float32)
         v = jnp.asarray(rng.normal(scale=0.5, size=(40, 3)), jnp.float32)
-        ci, cv = build_collision_candidates(params, opts, x)
+        ci, cv, _ = build_collision_candidates(params, opts, x)
         assert bool(cv.any())
         v_ref = self_collision_impulse(params, opts, x, v, ci, cv)
-        sel, sidx, sok = compact_candidate_slots(opts, x, ci, cv)
+        sel, sidx, sok, _ = compact_candidate_slots(opts, x, ci, cv)
         inv_m = (1.0 / params.masses[sel][:, None] + 1.0 / params.masses[sidx])
         v_new = self_collision_slots_impulse(params, opts, x, v, sel, sidx,
                                              sok, inv_m, params.masses[sel])
@@ -423,8 +424,8 @@ class TestSlotCompaction:
         opts = PhysicsOptions(collision_dist=0.05, max_candidates=8,
                               max_self_slots=4, max_self_particles=6)
         x = jnp.asarray(rng.random((30, 3)) * 0.03, jnp.float32)
-        ci, cv = build_collision_candidates(params, opts, x)
-        sel, sidx, sok = compact_candidate_slots(opts, x, ci, cv)
+        ci, cv, _ = build_collision_candidates(params, opts, x)
+        sel, sidx, sok, _ = compact_candidate_slots(opts, x, ci, cv)
         assert sel.shape == (6,) and sidx.shape == (6, 4)
         # selected particles have the globally nearest active candidates
         xn = np.asarray(x)

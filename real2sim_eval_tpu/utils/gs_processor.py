@@ -46,7 +46,45 @@ class GSProcessor:
             params = self.rotate(params, R)
         return params
 
-    load_phystwin = load
+    def load_phystwin(self, path, max_sh_degrees: int = 3) -> dict:
+        """Load a PhysTwin-exported gaussian PLY
+        (reference: sim/utils/gs/gs_processor.py:19-57).
+
+        PhysTwin plys differ from standard splat exports: they carry a
+        SINGLE isotropic scale column (expanded to 3, :51), and the
+        reference assembles the feature matrix by writing f_dc_0..2 to
+        columns 0..2 and then overwriting from column 0 with the f_rest
+        sequence (:29-33) — the dc terms survive only when there are no
+        rest coefficients. We reproduce that layout faithfully (PhysTwin
+        checkpoints were exported under it)."""
+        t, n = plylib.read_ply_table(path)
+        rest_names = sorted((k for k in t if k.startswith("f_rest_")),
+                            key=lambda s: int(s.split("_")[-1]))
+        assert len(rest_names) == 3 * (max_sh_degrees + 1) ** 2 - 3, \
+            f"unexpected SH layout in {path}"
+        features = np.zeros((n, len(rest_names) + 3), np.float32)
+        features[:, 0] = t["f_dc_0"]
+        features[:, 1] = t["f_dc_1"]
+        features[:, 2] = t["f_dc_2"]
+        for idx, name in enumerate(rest_names):
+            features[:, idx] = t[name]
+
+        scale_names = sorted((k for k in t if k.startswith("scale_")),
+                             key=lambda s: int(s.split("_")[-1]))
+        scales = np.stack([t[k] for k in scale_names], -1).astype(np.float32)
+        if scales.shape[1] == 1:
+            scales = np.repeat(scales, 3, axis=1)   # isotropic (:51)
+        rot_names = sorted((k for k in t if k.startswith("rot")),
+                           key=lambda s: int(s.split("_")[-1]))
+        rots = np.stack([t[k] for k in rot_names], -1).astype(np.float32)
+        return {
+            "means3D": np.stack([t["x"], t["y"], t["z"]], -1).astype(
+                np.float32),
+            "sh_colors": features,
+            "log_scales": scales[:, :3],
+            "unnorm_rotations": rots,
+            "logit_opacities": np.asarray(t["opacity"], np.float32)[:, None],
+        }
 
     def save(self, params, path) -> None:
         plylib.save_gaussian_ply(params, path)

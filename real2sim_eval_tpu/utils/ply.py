@@ -157,6 +157,15 @@ def _read_vertex_table_native(path) -> dict[str, np.ndarray] | None:
     return {name: out[:, i] for i, name in enumerate(names)}
 
 
+def read_ply_table(path: str | Path) -> tuple[dict[str, np.ndarray], int]:
+    """Raw vertex property table of a PLY (native reader with Python
+    fallback). Returns (name -> (N,) float32 column, N)."""
+    t = _read_vertex_table_native(path)
+    if t is None:
+        t = read_ply_vertex_table(path)
+    return t, len(t["x"])
+
+
 def load_gaussian_ply(path: str | Path, max_sh_degree: int = 3) -> dict[str, np.ndarray]:
     """Load a 3DGS PLY into raw (pre-activation) splat parameters.
 

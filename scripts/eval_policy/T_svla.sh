@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Launch wrapper mirroring the reference's
+# experiments/scripts/eval_policy/T_svla.sh (exact task/policy configuration,
+# incl. any per-task overrides). TPU device selection is implicit
+# (one jax process per host); use eval_policy_parallel for batched
+# multi-env evaluation instead of process-per-GPU fan-out.
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+python -m real2sim_eval_tpu.experiments.eval_policy \
+gs=T \
+env=xarm_pusher \
+physics.ckpt_path=log/phystwin/T \
+physics.case_name=T_0001 \
+policy.inference_cfg_path=policy/configs/inference/pusht.json \
+policy.checkpoint_path=log/policy_checkpoints/svla-pusht/checkpoints/007000 \
+"$@"

@@ -31,6 +31,40 @@ def test_viser_viewer_serves_mjpeg():
         v.close()
 
 
+def test_viser_viewer_camera_control():
+    """The /camera endpoint drives the orbit camera the renderer reads per
+    frame via get_metadata (restores the reference's per-client camera
+    loop, viser_gui.py:40-169 -> gs_renderer.py:1018-1048)."""
+    from real2sim_eval_tpu.utils.viser_gui import ViserViewer
+
+    v = ViserViewer(port=0)
+    try:
+        k = np.diag([400.0, 400.0, 1.0])
+        w2c0 = np.eye(4, dtype=np.float32)
+        v.set_metadata(64, 48, k, w2c0)
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{v.port}/camera?az=1.2&el=0.4&dist=0.8",
+            timeout=5).close()
+        meta = v.get_metadata()
+        w2c = np.asarray(meta["w2c"])
+        assert not np.allclose(w2c, w2c0)
+        R = w2c[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)  # SE(3)
+        # camera sits `dist` from the target (initial look-at: 0.7 m on +z)
+        eye = -R.T @ w2c[:3, 3]
+        np.testing.assert_allclose(np.linalg.norm(eye - [0, 0, 0.7]), 0.8,
+                                   atol=1e-5)
+        # intrinsics / size preserved for the rasterizer
+        assert meta["w"] == 64 and meta["h"] == 48
+        # a second request orbits again (live control)
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{v.port}/camera?az=0.0&el=0.0&dist=1.5",
+            timeout=5).close()
+        assert not np.allclose(np.asarray(v.get_metadata()["w2c"]), w2c)
+    finally:
+        v.close()
+
+
 def test_scoped_timer_accumulates():
     from real2sim_eval_tpu.utils.profiling import ScopedTimer
 

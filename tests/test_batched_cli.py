@@ -14,8 +14,9 @@ from fixtures import (TEST_CAMERAS, full_cfg, make_rope_points,
                       make_synthetic_scene, write_fixture_checkpoint)
 
 IK_URDF = Path("/root/reference/assets/robots/xarm/xarm7_with_gripper.urdf")
-pytestmark = pytest.mark.skipif(not IK_URDF.exists(),
-                                reason="reference assets unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not IK_URDF.exists(),
+                                reason="reference assets unavailable")]
 
 
 def test_eval_policy_batched_cli(tmp_path):

@@ -144,6 +144,7 @@ class TestPhysTwinDynamics:
         with pytest.raises(AssertionError, match="spring count"):
             dyn.reset({"x": pts}, pose_obj=jnp.asarray(np.eye(4), jnp.float32))
 
+    @pytest.mark.slow
     def test_rigid_box_keeps_shape(self, tmp_path):
         """A densely-sprung box (the rigid-phystwin recipe) falls without
         losing its shape: pairwise extents preserved within a few percent."""

@@ -13,6 +13,8 @@ import pytest
 
 from fixtures import full_cfg, make_box_points, write_fixture_checkpoint
 
+pytestmark = pytest.mark.slow
+
 COLLISION_URDF = Path(
     "/root/reference/assets/robots/xarm/xarm7_with_gripper_collision.urdf")
 

@@ -109,3 +109,42 @@ def test_reference_obj_loads():
         m = meshlib.load_mesh(f)
         assert len(m.vertices) > 0 and len(m.faces) > 0
         assert np.isfinite(m.vertices).all()
+
+
+def test_load_phystwin_ply(tmp_path):
+    """PhysTwin-exported gaussians: single isotropic scale column and the
+    reference's exact (dc-then-rest-overwrite) feature layout
+    (gs_processor.py:19-57)."""
+    import struct
+
+    from real2sim_eval_tpu.utils.gs_processor import GSProcessor
+
+    n = 5
+    rng = np.random.default_rng(0)
+    props = (["x", "y", "z"] + [f"f_dc_{i}" for i in range(3)]
+             + [f"f_rest_{i}" for i in range(45)] + ["opacity", "scale_0"]
+             + [f"rot_{i}" for i in range(4)])
+    data = rng.normal(size=(n, len(props))).astype("<f4")
+    path = tmp_path / "phystwin.ply"
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              f"element vertex {n}\n"
+              + "".join(f"property float {p}\n" for p in props)
+              + "end_header\n")
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(data.tobytes())
+
+    params = GSProcessor().load_phystwin(path)
+    np.testing.assert_allclose(params["means3D"], data[:, :3], atol=1e-6)
+    # feature layout: f_rest overwrites from column 0 (reference :29-33)
+    feats = params["sh_colors"]
+    assert feats.shape == (n, 48)
+    np.testing.assert_allclose(feats[:, :45], data[:, 6:51], atol=1e-6)
+    np.testing.assert_allclose(feats[:, 45:], 0.0)
+    # single scale column expands isotropically (:51)
+    ls = params["log_scales"]
+    assert ls.shape == (n, 3)
+    np.testing.assert_allclose(ls[:, 0], data[:, 52], atol=1e-6)
+    np.testing.assert_allclose(ls[:, 1], data[:, 52], atol=1e-6)
+    assert params["unnorm_rotations"].shape == (n, 4)
+    assert params["logit_opacities"].shape == (n, 1)

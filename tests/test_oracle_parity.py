@@ -105,6 +105,7 @@ class TestOracleParity:
                 np.arange(len(x0)), np.asarray(params.rest_x), o)
         np.testing.assert_allclose(xf, x, atol=5e-5)
 
+    @pytest.mark.slow
     def test_static_box_contact(self):
         params, x0, springs, rest, ylog = rope_fixture()
         box = meshlib.make_box((0.1, 0.1, 0.1))
@@ -132,6 +133,7 @@ class TestOracleParity:
         assert float(np.min(x[:, 2])) > -1e-3
         np.testing.assert_allclose(xf, x, atol=1.2e-3)
 
+    @pytest.mark.slow
     def test_moving_finger_push(self):
         params, x0, springs, rest, ylog = rope_fixture()
         fbox = meshlib.make_box((0.04, 0.04, 0.08))

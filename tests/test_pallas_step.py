@@ -136,6 +136,15 @@ class TestPallasBackend:
         ctrl = batched_controls(B, n_f=1)
         run_both(params, None, opts, x0_b, ctrl, steps=3)
 
+    def test_prime_substeps_remainder_chunk(self):
+        """num_substeps with no good divisor exercises the fixed-K +
+        remainder-kernel path."""
+        params, x0 = rope_params()
+        B = 1
+        opts = small_opts(num_substeps=59)   # prime: 1x32 + 27
+        ctrl = batched_controls(B, n_f=1)
+        run_both(params, None, opts, x0[None], ctrl, steps=2)
+
     def test_self_collision(self):
         params, x0 = rope_params(fold=True)
         B = 2
@@ -147,6 +156,7 @@ class TestPallasBackend:
         # sanity: the hairpin actually produced self-contact activity
         assert np.isfinite(np.asarray(state_p.x)).all()
 
+    @pytest.mark.slow
     def test_static_collider(self):
         params, x0 = rope_params()
         box = build_sdf_grid(meshlib.make_box((0.1, 0.1, 0.1)),
@@ -165,6 +175,7 @@ class TestPallasBackend:
         # the rope should have met the box (some contact happened)
         assert float(jnp.min(state_x.x[..., 2])) > -0.02
 
+    @pytest.mark.slow
     def test_finger_collider_and_forces(self):
         """Realistic contact onset: the finger sweeps INTO the rope, so
         penetration builds gradually and patches track it exactly."""
@@ -195,6 +206,7 @@ class TestPallasBackend:
             np.asarray(state_p.finger_forces), np.asarray(state_x.finger_forces),
             rtol=2e-3, atol=1.0, err_msg="finger forces diverge")
 
+    @pytest.mark.slow
     def test_embedded_cold_start_bounded(self):
         """Particles initialized deep INSIDE a collider (out-of-distribution
         cold start): the projection jump can leave the chunk's SDF patch, so
@@ -218,6 +230,7 @@ class TestPallasBackend:
         run_both(params, colliders, opts, x0_b, ctrl, steps=3, atol=8e-3,
                  vtol=2.0)
 
+    @pytest.mark.slow
     def test_pusher_margin(self):
         params, x0 = rope_params()
         tool = build_sdf_grid(meshlib.make_box((0.06, 0.06, 0.06)),
@@ -238,11 +251,12 @@ class TestPallasBackend:
 
 class TestHelpers:
     def test_best_chunk(self):
-        assert pallas_step.best_chunk(667) == 29
-        assert 667 % pallas_step.best_chunk(667) == 0
-        assert pallas_step.best_chunk(2000) <= 32
-        assert 2000 % pallas_step.best_chunk(2000) == 0
-        assert pallas_step.best_chunk(7) == 7
+        assert pallas_step.best_chunk(667) == (29, 23, 0)
+        k, nf, rem = pallas_step.best_chunk(2000)
+        assert k <= 32 and k * nf + rem == 2000
+        assert pallas_step.best_chunk(7) == (7, 1, 0)
+        k, nf, rem = pallas_step.best_chunk(59)
+        assert k * nf + rem == 59 and rem > 0
 
     def test_inverse_map(self):
         idx = jnp.asarray([[3, 1, 7], [0, 5, 2]], jnp.int32)

@@ -24,8 +24,9 @@ from fixtures import (TEST_CAMERAS, full_cfg, make_box_points,
                       make_synthetic_scene, write_fixture_checkpoint)
 
 PUSHER_URDF = reference_xarm_pusher_urdf()
-pytestmark = pytest.mark.skipif(PUSHER_URDF is None,
-                                reason="reference pusher assets unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(PUSHER_URDF is None,
+                                reason="reference pusher assets unavailable")]
 
 ROT_LEVEL = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
 

@@ -19,6 +19,8 @@ from real2sim_eval_tpu.testing import reference_xarm_urdf
 from fixtures import (TEST_CAMERAS, full_cfg, make_rope_points,
                       make_synthetic_scene, write_fixture_checkpoint)
 
+pytestmark = pytest.mark.slow
+
 IK_URDF = Path("/root/reference/assets/robots/xarm/xarm7_with_gripper.urdf")
 
 

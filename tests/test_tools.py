@@ -148,3 +148,30 @@ def test_colormap():
     colors = colorize_mask(np.array([-1, 0, 1, 2, 30]))
     assert colors.shape == (5, 3)
     np.testing.assert_allclose(colors[0], [0.3, 0.3, 0.3])
+
+
+def test_launch_scripts_mirror_reference():
+    """scripts/ captures the reference's task x policy launch configs
+    (experiments/scripts/*), incl. the sloth duration override."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "scripts"
+    ref = Path("/root/reference/experiments/scripts")
+    scripts = sorted(root.rglob("*.sh"))
+    assert len(scripts) >= 15
+    if ref.exists():
+        ref_names = {p.relative_to(ref).as_posix() for p in ref.rglob("*.sh")}
+        our_names = {p.relative_to(root).as_posix() for p in scripts}
+        assert ref_names <= our_names, ref_names - our_names
+    sloth = (root / "eval_policy" / "sloth_act.sh").read_text()
+    assert "env.sim.duration=15" in sloth      # the paper's sloth override
+    assert "gs=sloth" in sloth
+    t_push = (root / "eval_policy" / "T_act.sh").read_text()
+    assert "env=xarm_pusher" in t_push
+    for p in scripts:
+        s = p.read_text()
+        m = re.search(r"python -m (real2sim_eval_tpu\.experiments\.\w+)", s)
+        assert m, p
+        import importlib.util
+        assert importlib.util.find_spec(m.group(1)) is not None, m.group(1)

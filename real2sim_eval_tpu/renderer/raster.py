@@ -74,6 +74,29 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
     return _composite_pallas(cam, pre, bg, config)
 
 
+def gather_pair_table(pre: dict, order: jax.Array, n: int) -> jax.Array:
+    """Sorted pair attribute table: pack per-GAUSSIAN attrs into one 16-lane
+    row FIRST, then do a SINGLE row gather by pair order.
+
+    TPU gathers cost per ROW (~tens of ns each, serialized): gathering the
+    five attribute arrays separately was 5x the rows and measured 300+ ms
+    per step at 24 render instances; one pre-packed gather is ~5x cheaper
+    and lands directly in the kernel's 16-lane-per-gaussian layout."""
+    from .tile_kernel import ATTR, GPR
+
+    attrs = jnp.concatenate([
+        pre["xy"], pre["conic"], pre["opacity"][:, None], pre["rgb"],
+        pre["depth"][:, None],
+    ], axis=-1).astype(jnp.float32)                       # (N, 10)
+    attrs = jnp.pad(attrs, ((0, 1), (0, ATTR - attrs.shape[1])))
+    # padding row n is all-zero: invalid pairs (order == n) kill themselves
+    # via zero opacity
+    gathered = attrs[jnp.minimum(order, n)]               # ONE (P, 16) gather
+    p = gathered.shape[0]
+    assert p % GPR == 0
+    return gathered.reshape(-1, GPR * ATTR)
+
+
 def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
                     config: RasterConfig = RasterConfig()):
     """Render B environments x n_cams cameras in ONE compositor launch.
@@ -119,17 +142,8 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
                                  max_pairs, config.max_tiles_per_gaussian,
                                  small_tiles=config.small_tiles,
                                  max_large=config.max_large)
-            order = bins["order"]
-            safe = jnp.minimum(order, n - 1)
-            gathered = jnp.concatenate([
-                pre["xy"][safe], pre["conic"][safe],
-                pre["opacity"][safe, None], pre["rgb"][safe],
-                pre["depth"][safe, None],
-            ], axis=-1).astype(jnp.float32)
-            gathered = jnp.where((order < n)[:, None], gathered, 0.0)
-            from .tile_kernel import pack_pair_table
-            return (pack_pair_table(gathered), bins["tile_starts"],
-                    bins["tile_ends"])
+            data = gather_pair_table(pre, bins["order"], n)
+            return data, bins["tile_starts"], bins["tile_ends"]
         return per_env
 
     datas, starts, ends = [], [], []
@@ -226,7 +240,7 @@ def _composite_reference(cam: Camera, pre: dict, bg: jax.Array):
 
 def _composite_pallas(cam: Camera, pre: dict, bg: tuple,
                       config: RasterConfig):
-    from .tile_kernel import pack_pair_table, rasterize_tiles
+    from .tile_kernel import rasterize_tiles
 
     h, w = cam.height, cam.width
     n = pre["xy"].shape[0]
@@ -242,18 +256,7 @@ def _composite_pallas(cam: Camera, pre: dict, bg: tuple,
 
     # pre-gather sorted pair data:
     # [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth]
-    order = bins["order"]
-    safe = jnp.minimum(order, n - 1)
-    gathered = jnp.concatenate([
-        pre["xy"][safe],
-        pre["conic"][safe],
-        pre["opacity"][safe, None],
-        pre["rgb"][safe],
-        pre["depth"][safe, None],
-    ], axis=-1).astype(jnp.float32)
-    # invalidate padding pairs (order == n): zero opacity kills them
-    gathered = jnp.where((order < n)[:, None], gathered, 0.0)
-    data = pack_pair_table(gathered)
+    data = gather_pair_table(pre, bins["order"], n)
 
     rgb_pad, depth_pad = rasterize_tiles(
         data, bins["tile_starts"], bins["tile_ends"],

@@ -51,6 +51,10 @@ CAMERAS = [
 ]
 
 
+KERNEL = "wide"
+GROUPS = 4
+
+
 def build_evaluator(batch):
     import numpy as np
 
@@ -73,7 +77,9 @@ def build_evaluator(batch):
 
     backend = "pallas" if jax.default_backend() == "tpu" else "reference"
     ev = BatchedEvaluator(cfg, episode_ids=list(range(batch)),
-                          raster_config=RasterConfig(backend=backend))
+                          raster_config=RasterConfig(backend=backend,
+                                                     kernel=KERNEL,
+                                                     octet_groups=GROUPS))
     return ev
 
 
@@ -114,11 +120,13 @@ def golden_check(ev):
     one = {k: v[:1] for k, v in scenes.items()}
     rgb_p, depth_p = rasterize_batch(
         [(cam, jnp.asarray(w2c)[None])], one, 0,
-        config=RasterConfig(backend="pallas"))
+        config=RasterConfig(backend="pallas", kernel=KERNEL,
+                            octet_groups=GROUPS))
     rgb_r, depth_r = rasterize(
         cam, jnp.asarray(w2c), one["means3D"][0], one["scales"][0],
         one["rotations"][0], one["opacities"][0], one["shs"][0][:, :1], 0,
-        config=RasterConfig(backend="reference"))
+        config=RasterConfig(backend="reference", kernel=KERNEL,
+                            octet_groups=GROUPS))
     d_rgb = float(jnp.abs(rgb_p[0, 0] - jnp.clip(rgb_r, 0, 1)).max())
     d_dep = float(jnp.abs(depth_p[0, 0] - depth_r).max())
     ok = d_rgb < 2e-2 and d_dep < 1e-2
@@ -132,10 +140,16 @@ def golden_check(ev):
 
 def main():
     ap = argparse.ArgumentParser()
+    global KERNEL, GROUPS
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--kernel", default=KERNEL,
+                    choices=("wide", "octet"))
+    ap.add_argument("--groups", type=int, default=GROUPS)
     args = ap.parse_args()
+    KERNEL = args.kernel
+    GROUPS = args.groups
 
     import jax
     import jax.numpy as jnp

@@ -155,7 +155,7 @@ def make_ctrl_builder(opts: PhysicsOptions, force_threshold: float):
 
 
 def make_control_core(opts: PhysicsOptions, force_threshold: float,
-                      has_colliders: bool = True):
+                      has_colliders: bool = True, step_fn=None):
     """Build the jitted per-control-step core.
 
     core(params, colliders, sm_state, grasp_state,
@@ -164,9 +164,11 @@ def make_control_core(opts: PhysicsOptions, force_threshold: float,
 
     All eef quantities are in the model frame. finger_centroids: (n_f, 3)
     mesh-frame centroid per finger (for closing-velocity computation,
-    phystwin.py:441-448).
+    phystwin.py:441-448). ``step_fn`` overrides the substep engine
+    (e.g. the fused Pallas backend).
     """
-    step_fn = make_step_fn(opts, has_colliders=has_colliders)
+    if step_fn is None:
+        step_fn = make_step_fn(opts, has_colliders=has_colliders)
     build = make_ctrl_builder(opts, force_threshold)
 
     def core(params, colliders, sm_state, grasp_state,
@@ -375,9 +377,28 @@ class PhysTwinDynamics:
             finger_forces=jnp.zeros((self.opts.n_fingers, 3), jnp.float32),
         )
         self.grasp_state = GraspState.create()
+        step_fn = None
+        if jax.default_backend() == "tpu":
+            from .pallas_step import make_pallas_step_fn, supports_pallas
+
+            if supports_pallas(self.opts, self.params):
+                # fused single-env step (B=1 rides the padded sublane batch)
+                pal = make_pallas_step_fn(
+                    self.opts, self.params,
+                    colliders if (fingers or statics) else None, batch=1)
+
+                def step_fn(params, colliders_rt, sm, ctrl):  # noqa: F811
+                    sp = (colliders_rt.static_pose[None]
+                          if colliders_rt is not None
+                          else jnp.zeros((1, 0, 4, 4)))
+                    sm_b = jax.tree_util.tree_map(lambda a: a[None], sm)
+                    ctrl_b = jax.tree_util.tree_map(lambda a: a[None], ctrl)
+                    out = pal(params, sp, params.rest_x[None], sm_b, ctrl_b)
+                    return jax.tree_util.tree_map(lambda a: a[0], out)
+
         self._core = jax.jit(make_control_core(
             self.opts, float(phys.grasp_force_threshold),
-            has_colliders=bool(fingers or statics)))
+            has_colliders=bool(fingers or statics), step_fn=step_fn))
 
         # keep copies for get_state (phystwin.py:188-202)
         self.init_springs = jnp.asarray(springs)

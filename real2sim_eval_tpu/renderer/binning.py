@@ -41,8 +41,8 @@ def bin_gaussians(
     tile_h: int,
     max_pairs: int,
     max_tiles_per_gaussian: int = 16,
-    small_tiles: int = 4,      # kept for config compatibility (unused in v2)
-    max_large: int = 2048,     # kept for config compatibility (unused in v2)
+    small_tiles: int = 8,      # dense slots per gaussian
+    max_large: int = 4096,     # gaussians granted slots beyond small_tiles
 ):
     """Build depth-sorted per-tile gaussian lists.
 
@@ -61,6 +61,8 @@ def bin_gaussians(
     n = xy.shape[0]
     n_tiles = n_tiles_x * n_tiles_y
     D = max_tiles_per_gaussian
+    d_small = min(max(small_tiles, 1), D)
+    k_large = min(max_large, n)
 
     # 1. depth order (invalid sink to the end)
     depth_key = jnp.where(valid, pre["depth"].astype(jnp.float32), jnp.inf)
@@ -73,38 +75,71 @@ def bin_gaussians(
     y0o = y0[order_g]
     counts = jnp.where(valid[order_g], rect_w * (y1 - y0)[order_g], 0)
     counts_c = jnp.minimum(counts, D)
-    n_rect_dropped = jnp.sum(counts - counts_c).astype(jnp.int32)
     n_pairs_unclamped = jnp.sum(counts).astype(jnp.int32)
     n_emitted = jnp.sum(counts_c).astype(jnp.int32)
 
-    # 2. dense slot emission in depth order (no scatter)
-    d = jnp.arange(D, dtype=jnp.int32)[None, :]                 # (1, D)
-    rw = jnp.maximum(rect_w, 1)[:, None]
-    tx = x0o[:, None] + d % rw
-    ty = y0o[:, None] + d // rw
-    tile = jnp.where(d < counts_c[:, None],
-                     (ty * n_tiles_x + tx).astype(jnp.int32), n_tiles)
-    gid = jnp.where(d < counts_c[:, None], order_g[:, None], n)
+    # 2. slot emission in depth order (no scatter): a dense (N, d_small)
+    # block covers typical rects; the k_large gaussians with the biggest
+    # rects get a continuation block for slots [d_small, D). Both report
+    # what they clip.
+    def emit(d_lo, d_hi, sel=None):
+        d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
+        if sel is None:
+            rw, xx0, yy0, cnt, og = rect_w, x0o, y0o, counts_c, order_g
+        else:
+            rw, xx0, yy0 = rect_w[sel], x0o[sel], y0o[sel]
+            cnt, og = counts_c[sel], order_g[sel]
+            # rank of a large slot = the owning gaussian's depth rank
+            rank = sel[:, None] * jnp.int32(1)
+        rwm = jnp.maximum(rw, 1)[:, None]
+        tx = xx0[:, None] + d % rwm
+        ty = yy0[:, None] + d // rwm
+        ok = d < cnt[:, None]
+        tile = jnp.where(ok, (ty * n_tiles_x + tx), n_tiles)
+        gid = jnp.where(ok, og[:, None], n)
+        if sel is None:
+            rank = jnp.broadcast_to(
+                jnp.arange(tile.shape[0], dtype=jnp.int32)[:, None],
+                tile.shape)
+        else:
+            rank = jnp.broadcast_to(rank, tile.shape)
+        return tile.reshape(-1), gid.reshape(-1), rank.reshape(-1)
 
-    # 3. one sort by tile; equal tiles keep depth order. The slot flat
-    # index IS the depth rank, so packing [tile | rank] into one i32 makes
-    # every key unique and the cheaper UNSTABLE sort exact (measured ~12%
-    # faster than the stable two-operand sort on v5e).
-    total = n * D
-    rank_bits = max((total - 1).bit_length(), 1)
-    tile_bits = max(n_tiles.bit_length(), 1)
-    if rank_bits + tile_bits <= 31:
-        rank = jnp.arange(total, dtype=jnp.int32)
-        key = tile.reshape(-1) * jnp.int32(1 << rank_bits) + rank
-        key_s, gid_sorted = jax.lax.sort((key, gid.reshape(-1)), num_keys=1,
-                                         is_stable=False)
-        tiles_sorted = key_s >> rank_bits
+    tiles1, gid1, rank1 = emit(0, d_small)
+    if D > d_small and k_large > 0:
+        # counts_c is in depth order, so sel values ARE depth ranks
+        _, sel = jax.lax.top_k(counts_c, k_large)
+        tiles2, gid2, rank2 = emit(d_small, D, sel.astype(jnp.int32))
+        tile_f = jnp.concatenate([tiles1, tiles2])
+        gid_f = jnp.concatenate([gid1, gid2])
+        rank_f = jnp.concatenate([rank1, rank2])
+        extra = jnp.maximum(counts_c - d_small, 0)
+        n_large_dropped = (jnp.sum(extra) - jnp.sum(extra[sel])
+                           ).astype(jnp.int32)
+        n_emitted = n_emitted - n_large_dropped
     else:
-        tiles_sorted, gid_sorted = jax.lax.sort(
-            (tile.reshape(-1), gid.reshape(-1)), num_keys=1, is_stable=True)
+        tile_f, gid_f, rank_f = tiles1, gid1, rank1
+        n_large_dropped = jnp.sum(
+            jnp.maximum(counts_c - d_small, 0)).astype(jnp.int32)
+        n_emitted = n_emitted - n_large_dropped
+    n_rect_dropped = (jnp.sum(counts - counts_c).astype(jnp.int32)
+                      + n_large_dropped)
+
+    # 3. one sort by [tile | depth rank] packed into a unique uint32 key:
+    # within a tile each gaussian contributes one slot, so (tile, rank) is
+    # unique and the cheaper UNSTABLE sort reproduces the CUDA radix order
+    # exactly. rank needs ceil(log2 N) bits, tile the rest of 32.
+    rank_bits = max((n - 1).bit_length(), 1)
+    tile_bits = max(n_tiles.bit_length(), 1)
+    assert rank_bits + tile_bits <= 32, \
+        f"tile/rank key overflow: {n} gaussians x {n_tiles} tiles"
+    key = (tile_f.astype(jnp.uint32) << rank_bits) | rank_f.astype(jnp.uint32)
+    key_s, gid_sorted = jax.lax.sort((key, gid_f), num_keys=1,
+                                     is_stable=False)
+    tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
 
     # 4. crop/pad to the static pair budget + tile ranges
-    total = n * D
+    total = tile_f.shape[0]
     if total >= max_pairs:
         tiles_sorted = tiles_sorted[:max_pairs]
         order = gid_sorted[:max_pairs]

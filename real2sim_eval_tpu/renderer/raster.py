@@ -52,8 +52,10 @@ class RasterConfig:
     max_tiles_per_gaussian: int = 16   # per-gaussian tile-rect clamp (D)
     chunk: int = 256                   # gaussians per DMA chunk in the kernel
     interpret: bool = False            # run the Pallas kernel interpreted
-    small_tiles: int = 4               # unused in sort-based binning (compat)
-    max_large: int = 2048              # unused in sort-based binning (compat)
+    small_tiles: int = 8               # dense tile slots per gaussian
+    max_large: int = 4096              # big-rect gaussians granted full rects
+    kernel: str = "wide"               # compositor: wide (8,128) | octet
+    octet_groups: int = 4              # fine tiles per supertile row (octet)
 
 
 def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
@@ -70,7 +72,14 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "reference"
     if backend == "reference":
-        return _composite_reference(cam, pre, jnp.asarray(bg, jnp.float32))
+        # tile-rect gating granularity follows the configured compositor so
+        # cross-backend tests are exact (gaussian tails beyond the 3-sigma
+        # rect are a definitional cutoff of the rasterizer family; upstream
+        # CUDA gates at 16x16, forward.cu:230-237 + config.h:15-16)
+        bin_w = (TILE_W // config.octet_groups if config.kernel == "octet"
+                 else TILE_W)
+        return _composite_reference(cam, pre, jnp.asarray(bg, jnp.float32),
+                                    bin_w=bin_w)
     return _composite_pallas(cam, pre, bg, config)
 
 
@@ -126,9 +135,23 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
             "batched render needs uniform camera resolution"
     B = scenes["means3D"].shape[0]
     n = scenes["means3D"].shape[1]
-    n_tiles_x = -(-w // TILE_W)
-    n_tiles_y = -(-h // TILE_H)
-    max_pairs = int(config.max_pairs_factor * n)
+    octet = config.kernel == "octet"
+    n_sup_x = -(-w // TILE_W)
+    n_sup_y = -(-h // TILE_H)
+    if octet:
+        groups = int(config.octet_groups)
+        assert TILE_W % groups == 0
+        bin_w = TILE_W // groups
+        n_bin_x = n_sup_x * groups
+        # fine tiles multiply per-gaussian rects; scale the rect clamp so
+        # the same config stays exact on the same scene
+        max_tiles = config.max_tiles_per_gaussian * (groups + 1)
+    else:
+        groups = 1
+        bin_w = TILE_W
+        n_bin_x = n_sup_x
+        max_tiles = config.max_tiles_per_gaussian
+    max_pairs = int(config.max_pairs_factor * n * (1 + 0.5 * (groups > 1)))
     max_pairs = -(-max_pairs // config.chunk) * config.chunk
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
 
@@ -138,8 +161,8 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
         def per_env(w2c, means, scales, quats, opac, sh):
             pre = preprocess_gaussians(cam, w2c, means, scales, quats, opac,
                                        sh, sh_degree)
-            bins = bin_gaussians(pre, n_tiles_x, n_tiles_y, TILE_W, TILE_H,
-                                 max_pairs, config.max_tiles_per_gaussian,
+            bins = bin_gaussians(pre, n_bin_x, n_sup_y, bin_w, TILE_H,
+                                 max_pairs, max_tiles,
                                  small_tiles=config.small_tiles,
                                  max_large=config.max_large)
             data = gather_pair_table(pre, bins["order"], n)
@@ -164,10 +187,16 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
     starts = starts + inst_off
     ends = ends + inst_off
 
-    from .tile_kernel import rasterize_tiles_batch
-    rgb, depth = rasterize_tiles_batch(
-        data, starts, ends, n_tiles_x, n_tiles_y, chunk=config.chunk, bg=bg,
-        interpret=config.interpret)
+    if octet:
+        from .octet_kernel import rasterize_octet_batch
+        rgb, depth = rasterize_octet_batch(
+            data, starts, ends, groups, n_sup_x, n_sup_y, bg=bg,
+            interpret=config.interpret)
+    else:
+        from .tile_kernel import rasterize_tiles_batch
+        rgb, depth = rasterize_tiles_batch(
+            data, starts, ends, n_sup_x, n_sup_y, chunk=config.chunk,
+            bg=bg, interpret=config.interpret)
     n_cams = len(cam_w2c_list)
     rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(
         n_cams, B, 3, h, w)
@@ -180,12 +209,13 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
 # ---------------------------------------------------------------------------
 
 
-def _composite_reference(cam: Camera, pre: dict, bg: jax.Array):
+def _composite_reference(cam: Camera, pre: dict, bg: jax.Array,
+                         bin_w: int = TILE_W, bin_h: int = TILE_H):
     from .preprocess import tile_rect
 
     h, w = cam.height, cam.width
-    n_tiles_x = -(-w // TILE_W)
-    n_tiles_y = -(-h // TILE_H)
+    n_tiles_x = -(-w // bin_w)
+    n_tiles_y = -(-h // bin_h)
     order = jnp.argsort(jnp.where(pre["valid"], pre["depth"], jnp.inf))
     xy = pre["xy"][order]
     conic = pre["conic"][order]
@@ -193,13 +223,13 @@ def _composite_reference(cam: Camera, pre: dict, bg: jax.Array):
     rgb = pre["rgb"][order]
     depth = pre["depth"][order]
     x0, y0, x1, y1 = tile_rect(pre["xy"], pre["radius"],
-                               n_tiles_x, n_tiles_y, TILE_W, TILE_H)
+                               n_tiles_x, n_tiles_y, bin_w, bin_h)
     x0, y0, x1, y1 = x0[order], y0[order], x1[order], y1[order]
 
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    tile_x = (jnp.arange(w) // TILE_W)[None, :]
-    tile_y = (jnp.arange(h) // TILE_H)[:, None]
+    tile_x = (jnp.arange(w) // bin_w)[None, :]
+    tile_y = (jnp.arange(h) // bin_h)[:, None]
 
     def body(carry, g):
         T, C, D, done = carry

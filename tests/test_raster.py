@@ -167,9 +167,12 @@ class TestPallasBackendEquivalence:
         np.testing.assert_allclose(np.asarray(pal_depth), np.asarray(ref_depth),
                                    atol=1e-3)
 
-    def test_batched_instances_match_reference(self):
+    @pytest.mark.parametrize("kernel,groups", [("wide", 1), ("octet", 4),
+                                               ("octet", 8)])
+    def test_batched_instances_match_reference(self, kernel, groups):
         """rasterize_batch (one kernel over env x cam x tile) must agree
-        with per-instance dense rendering."""
+        with per-instance dense rendering — for both the wide (8,128)
+        compositor and the multi-stream octet compositor."""
         from real2sim_eval_tpu.renderer.raster import rasterize_batch
 
         rng = np.random.default_rng(7)
@@ -194,7 +197,8 @@ class TestPallasBackendEquivalence:
                                jnp.float32),
         }
         cfg = RasterConfig(backend="pallas", interpret=True,
-                           max_pairs_factor=8.0, max_tiles_per_gaussian=16)
+                           max_pairs_factor=8.0, max_tiles_per_gaussian=16,
+                           kernel=kernel, octet_groups=groups)
         rgb, depth = rasterize_batch(
             [(cam_a, jnp.asarray(w2c_b)), (cam_b, jnp.asarray(w2c_b))],
             scenes, 0, config=cfg)
@@ -205,7 +209,8 @@ class TestPallasBackendEquivalence:
                     cam, jnp.asarray(w2c_b[b]), scenes["means3D"][b],
                     scenes["scales"][b], scenes["rotations"][b],
                     scenes["opacities"][b], scenes["shs"][b], 0,
-                    config=RasterConfig(backend="reference"))
+                    config=RasterConfig(backend="reference", kernel=kernel,
+                                        octet_groups=groups))
                 np.testing.assert_allclose(
                     np.asarray(rgb[ci, b]),
                     np.asarray(jnp.clip(ref_rgb, 0.0, 1.0)), atol=2e-3)

@@ -329,8 +329,14 @@ class PhysTwinDynamics:
         n = len(init_pts_model)
         nbr_idx, nbr_rest, nbr_Y = build_neighbor_tables(
             springs, rest_lengths, np.log(np.maximum(spring_Y, 1e-12)), n)
-        rolled = build_rolled_tables(
+        from .topology import build_rolled_tables_maybe_reordered
+
+        rolled, roll_perm = build_rolled_tables_maybe_reordered(
             springs, rest_lengths, np.log(np.maximum(spring_Y, 1e-12)), n)
+        roll_inv = None
+        if roll_perm is not None:
+            roll_inv = np.empty_like(roll_perm)
+            roll_inv[roll_perm] = np.arange(n, dtype=np.int32)
         self.params = SpringMassParams(
             springs=jnp.asarray(springs),
             rest_lengths=jnp.asarray(rest_lengths),
@@ -346,6 +352,10 @@ class PhysTwinDynamics:
             roll_Y_log=(jnp.asarray(rolled[2]) if rolled is not None else None),
             roll_offsets=(tuple(int(o) for o in rolled[0])
                           if rolled is not None else ()),
+            roll_perm=(jnp.asarray(roll_perm) if roll_perm is not None
+                       else None),
+            roll_inv_perm=(jnp.asarray(roll_inv) if roll_inv is not None
+                           else None),
             collision_mask=jnp.arange(n, dtype=jnp.int32),
             rest_x=jnp.asarray(init_pts_model),
             collide_elas=jnp.asarray(float(np.asarray(first["collide_elas"]).ravel()[0])),

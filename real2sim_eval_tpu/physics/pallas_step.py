@@ -748,6 +748,18 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
 
     def step(params: SpringMassParams, static_pose, rest_x,
              state: SpringMassState, ctrl: SubstepControls) -> SpringMassState:
+        # ---- RCM boundary permutation (roll tables index internal order) --
+        perm = params.roll_perm
+        if perm is not None:
+            params = params.replace(
+                masses=params.masses[perm],
+                collision_mask=params.collision_mask[perm])
+            state = state.replace(x=state.x[:, perm], v=state.v[:, perm])
+            if rest_x.ndim == 3:
+                rest_x = rest_x[:, perm]
+            else:
+                rest_x = rest_x[perm]
+
         # ---- shared tables (constant per episode; folded by XLA) ----------
         Y = jnp.exp(params.roll_Y_log)
         active = Y > opts.spring_Y_min
@@ -943,6 +955,9 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
 
         x_out = jnp.stack([xs[:B, :N], ys[:B, :N], zs[:B, :N]], axis=-1)
         v_out = jnp.stack([vxs[:B, :N], vys[:B, :N], vzs[:B, :N]], axis=-1)
+        if perm is not None:
+            x_out = x_out[:, params.roll_inv_perm]
+            v_out = v_out[:, params.roll_inv_perm]
         nf_out = state.finger_forces.shape[-2]
         ff_out = ff[:B, :3 * nf_out].reshape(B, nf_out, 3)
         # patch escapes accumulate in ff lane 30 inside the kernel

@@ -108,6 +108,12 @@ class SpringMassParams:
     roll_rest: jax.Array | None = None
     roll_Y_log: jax.Array | None = None
     roll_offsets: tuple = struct.field(pytree_node=False, default=())
+    # optional particle permutation under which the roll tables were built
+    # (RCM bandwidth reordering for volumetric topologies): roll_* index
+    # INTERNAL order perm[k]; public state stays in checkpoint order and
+    # the fused backend permutes at its boundary. None = identity.
+    roll_perm: jax.Array | None = None
+    roll_inv_perm: jax.Array | None = None
 
 
 @struct.dataclass
@@ -171,7 +177,10 @@ def spring_forces(params: SpringMassParams, opts: PhysicsOptions,
     reference's atomic scatter-add and the endpoint+incidence gather pair;
     gathers are the dominant cost unit on TPU."""
     xv = jnp.concatenate([x, v], axis=-1)            # (N, 6)
-    if params.roll_rest is not None:
+    if params.roll_rest is not None and params.roll_perm is None:
+        # the rolled tables index checkpoint order; under an RCM
+        # permutation (roll_perm set) they only apply inside the fused
+        # backend, which permutes at its boundary
         return _spring_forces_rolled(params, opts, x, v, xv)
     if params.nbr_onehot is not None:
         # MXU gather: E @ [hi | mid | lo], E one-hot (each row selects one

@@ -157,6 +157,75 @@ def build_rolled_tables(
     return offsets.astype(np.int32), rest, Y
 
 
+def build_rolled_tables_maybe_reordered(
+    springs, rest_lengths, spring_Y_log, n_points, max_offsets: int = 128,
+):
+    """Rolled tables in checkpoint order, else after RCM reordering.
+
+    Returns (rolled_or_None, perm_or_None): when perm is not None the
+    tables index INTERNAL order perm[k] and consumers must permute state
+    at their boundary (physics/pallas_step.py does)."""
+    rolled = build_rolled_tables(springs, rest_lengths, spring_Y_log,
+                                 n_points, max_offsets)
+    if rolled is not None or len(np.asarray(springs)) == 0:
+        return rolled, None
+    perm = rcm_order(springs, n_points)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n_points, dtype=np.int32)
+    rolled_p = build_rolled_tables(inv[np.asarray(springs)], rest_lengths,
+                                   spring_Y_log, n_points, max_offsets)
+    if rolled_p is None:
+        return None, None
+    return rolled_p, perm
+
+
+def rcm_order(springs: np.ndarray, n_points: int) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of the spring graph.
+
+    Minimizing the index bandwidth max|i-j| over springs is what makes the
+    rolled (offset-structured) tables — and with them the fused Pallas
+    substep kernel — applicable to volumetric objects whose checkpoint
+    point order is arbitrary (e.g. the sloth): after RCM, neighbours sit
+    within a small index window. Returns perm with perm[k] = original index
+    of the particle at new position k.
+    """
+    adj: list[list[int]] = [[] for _ in range(n_points)]
+    for i, j in np.asarray(springs):
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+    deg = np.array([len(a) for a in adj])
+    visited = np.zeros(n_points, bool)
+    order: list[int] = []
+    # BFS from the minimum-degree node of each component, neighbours by
+    # ascending degree (classic CM), then reverse
+    for start in np.argsort(deg):
+        if visited[start]:
+            continue
+        queue = [int(start)]
+        visited[start] = True
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            nbrs = sorted((u for u in adj[v] if not visited[u]),
+                          key=lambda u: deg[u])
+            for u in nbrs:
+                visited[u] = True
+                queue.append(u)
+    return np.asarray(order[::-1], np.int32)
+
+
+def bandwidth(springs: np.ndarray, perm: np.ndarray | None = None) -> int:
+    """max|i-j| over springs (optionally after applying a permutation)."""
+    springs = np.asarray(springs)
+    if len(springs) == 0:
+        return 0
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=perm.dtype)
+        springs = inv[springs]
+    return int(np.abs(springs[:, 0] - springs[:, 1]).max())
+
+
 def build_incidence(
     springs: np.ndarray, n_points: int, pad_to: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -63,11 +63,18 @@ def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
     fbase = inst * (n_fine_x * (n_super // n_super_x)) + sy * n_fine_x \
         + sx * G
 
+    # each stream walks PACKED-ALIGNED 8-pair blocks from its own aligned
+    # base row; boundary pairs (belonging to neighboring tiles) are masked
+    # by the per-stream [lo, hi) validity window in block-local indices —
+    # Mosaic has no dynamic value slicing, so alignment replaces phase math
     start_p = [starts_ref[fbase + p] for p in range(G)]
-    cnt_p = [ends_ref[fbase + p] - start_p[p] for p in range(G)]
-    kmax = cnt_p[0]
+    end_p = [ends_ref[fbase + p] for p in range(G)]
+    arow_p = [start_p[p] // GPR for p in range(G)]
+    lo_p = [start_p[p] - arow_p[p] * GPR for p in range(G)]
+    hi_p = [end_p[p] - arow_p[p] * GPR for p in range(G)]
+    kmax = hi_p[0]
     for p in range(1, G):
-        kmax = jnp.maximum(kmax, cnt_p[p])
+        kmax = jnp.maximum(kmax, hi_p[p])
 
     px = (sx * SUP_W
           + jax.lax.broadcasted_iota(jnp.int32, (SUP_H, SUP_W), 1)
@@ -75,12 +82,13 @@ def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
     py = (sy * SUP_H
           + jax.lax.broadcasted_iota(jnp.int32, (SUP_H, SUP_W), 0)
           ).astype(jnp.float32)
-    lane_step = jax.lax.broadcasted_iota(jnp.int32, (1, SUP_W), 1) // W
-
     def scoped(scratch, sems):
-        # per-group pair-count limit as a lane row (masks stream padding)
-        limit = _bcast_groups(
-            [jnp.full((1, 1), cnt_p[p], jnp.float32) for p in range(G)], W)
+        # per-group validity windows as lane rows (mask boundary pairs of
+        # neighboring tiles inside the aligned first/last blocks)
+        lo_row = _bcast_groups(
+            [jnp.full((1, 1), lo_p[p], jnp.float32) for p in range(G)], W)
+        hi_row = _bcast_groups(
+            [jnp.full((1, 1), hi_p[p], jnp.float32) for p in range(G)], W)
 
         def seg_cond(carry):
             k0, T, Cr, Cg, Cb, Dm, done = carry
@@ -89,28 +97,23 @@ def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
 
         def seg_body(carry):
             k0, T, Cr, Cg, Cb, Dm, done = carry
-            row0 = []
+            seg_row = k0 // GPR
             for p in range(G):
-                r0 = (start_p[p] + k0) // GPR
-                r0 = jnp.minimum(r0, n_rows - SEGR)
-                row0.append(r0)
+                r0 = jnp.minimum(arow_p[p] + seg_row, n_rows - SEGR)
                 cp = pltpu.make_async_copy(
                     data_hbm.at[pl.ds(r0, SEGR), :],
                     scratch.at[p], sems.at[p])
                 cp.start()
             for p in range(G):
+                r0 = jnp.minimum(arow_p[p] + seg_row, n_rows - SEGR)
                 pltpu.make_async_copy(
-                    data_hbm.at[pl.ds(row0[p], SEGR), :],
+                    data_hbm.at[pl.ds(r0, SEGR), :],
                     scratch.at[p], sems.at[p]).wait()
-            # per-stream phase within the packed rows
-            vals = [scratch[p].reshape(SEGR * GPR, ATTR) for p in range(G)]
-            phase = [start_p[p] + k0 - row0[p] * GPR for p in range(G)]
 
             def block(kb, inner):
                 T, Cr, Cg, Cb, Dm, done = inner
-                blks = [jax.lax.dynamic_slice(
-                    vals[p], (phase[p] + kb * GPR, 0), (GPR, ATTR))
-                    for p in range(G)]
+                blks = [scratch[p, pl.ds(kb, 1), :].reshape(GPR, ATTR)
+                        for p in range(G)]
                 attr_rows = []
                 for a in range(10):
                     attr_rows.append(_bcast_groups(
@@ -120,7 +123,8 @@ def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
                 def step(j, st):
                     T, Cr, Cg, Cb, Dm, done = st
                     k = k0 + kb * GPR + j
-                    in_len = (jnp.float32(0.0) + k) < limit     # (1, 128)
+                    kf = jnp.float32(0.0) + k
+                    in_len = (kf >= lo_row) & (kf < hi_row)     # (1, 128)
                     gx = gxr[j, :][None, :]
                     gy = gyr[j, :][None, :]
                     ca = car[j, :][None, :]

@@ -249,6 +249,57 @@ class TestPallasBackend:
         run_both(params, colliders, opts, x0_b, ctrl, steps=2, atol=5e-5)
 
 
+class TestRcmReordering:
+    def test_volumetric_blob_via_rcm(self):
+        """A shuffled volumetric blob (sloth-class topology) has no rolled
+        form in checkpoint order; RCM reordering must recover one and the
+        fused step must match the XLA path through the boundary permute."""
+        from real2sim_eval_tpu.physics.topology import (
+            bandwidth, build_rolled_tables_maybe_reordered)
+
+        rng = np.random.default_rng(3)
+        g = np.linspace(0, 0.08, 7)
+        pts = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+        pts = pts[rng.permutation(len(pts))].astype(np.float32)  # shuffled
+        pts[:, 2] += 0.1
+        springs, rl = connect_springs(pts, radius=0.015, max_neighbours=8)
+        ylog = np.full(len(springs), np.log(2e3), np.float32)
+        n = len(pts)
+
+        assert build_rolled_tables(springs, rl, ylog, n) is None
+        rolled, perm = build_rolled_tables_maybe_reordered(
+            springs, rl, ylog, n)
+        assert rolled is not None and perm is not None
+        assert bandwidth(springs, perm) < 64
+
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int32)
+        nbr = build_neighbor_tables(springs, rl, ylog, n)
+        params = SpringMassParams(
+            springs=jnp.asarray(springs), rest_lengths=jnp.asarray(rl),
+            spring_Y_log=jnp.asarray(ylog),
+            masses=jnp.ones((n,), jnp.float32),
+            nbr_idx=jnp.asarray(nbr[0]), nbr_rest=jnp.asarray(nbr[1]),
+            nbr_Y_log=jnp.asarray(nbr[2]),
+            collision_mask=jnp.arange(n, dtype=jnp.int32),
+            rest_x=jnp.asarray(pts),
+            collide_elas=jnp.asarray(0.5), collide_fric=jnp.asarray(0.3),
+            collide_eef_elas=jnp.asarray(0.0),
+            collide_eef_fric=jnp.asarray(1.0),
+            collide_self_elas=jnp.asarray(0.5),
+            collide_self_fric=jnp.asarray(0.3),
+            roll_rest=jnp.asarray(rolled[1]),
+            roll_Y_log=jnp.asarray(rolled[2]),
+            roll_offsets=tuple(int(o) for o in rolled[0]),
+            roll_perm=jnp.asarray(perm),
+            roll_inv_perm=jnp.asarray(inv),
+        )
+        opts = small_opts(num_substeps=29)
+        ctrl = batched_controls(2, n_f=1)
+        x0_b = np.tile(pts[None], (2, 1, 1))
+        run_both(params, None, opts, x0_b, ctrl, steps=2)
+
+
 class TestHelpers:
     def test_best_chunk(self):
         assert pallas_step.best_chunk(667) == (29, 23, 0)

@@ -111,26 +111,34 @@ def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
                     scratch.at[p], sems.at[p]).wait()
 
             def block(kb, inner):
-                T, Cr, Cg, Cb, Dm, done = inner
-                blks = [scratch[p, pl.ds(kb, 1), :].reshape(GPR, ATTR)
-                        for p in range(G)]
-                attr_rows = []
-                for a in range(10):
-                    attr_rows.append(_bcast_groups(
-                        [blks[p][:, a:a + 1] for p in range(G)], W))
-                gxr, gyr, car, cbr, ccr, opr, rr, gr, br, dr = attr_rows
+                # per-pair attributes come straight off the packed (1,128)
+                # rows as STATIC (1,1) lane slices broadcast per fine tile:
+                # Mosaic has no lane->sublane shape casts, but (1,1)
+                # extract + splat + lane-concat lower cleanly
+                rows = [scratch[p, pl.ds(kb, 1), :] for p in range(G)]
+
+                def attr(j, a):
+                    return _bcast_groups(
+                        [rows[p][:, j * ATTR + a:j * ATTR + a + 1]
+                         for p in range(G)], W)
 
                 def step(j, st):
+                    # j is a static python int: value indexing below must
+                    # stay static — Mosaic has no dynamic_slice on values
                     T, Cr, Cg, Cb, Dm, done = st
                     k = k0 + kb * GPR + j
                     kf = jnp.float32(0.0) + k
                     in_len = (kf >= lo_row) & (kf < hi_row)     # (1, 128)
-                    gx = gxr[j, :][None, :]
-                    gy = gyr[j, :][None, :]
-                    ca = car[j, :][None, :]
-                    cb = cbr[j, :][None, :]
-                    cc = ccr[j, :][None, :]
-                    op = jnp.where(in_len, opr[j, :][None, :], 0.0)
+                    gx = attr(j, 0)
+                    gy = attr(j, 1)
+                    ca = attr(j, 2)
+                    cb = attr(j, 3)
+                    cc = attr(j, 4)
+                    op = jnp.where(in_len, attr(j, 5), 0.0)
+                    rr = attr(j, 6)
+                    gr = attr(j, 7)
+                    br = attr(j, 8)
+                    dr = attr(j, 9)
                     dx = gx - px
                     dy = gy - py
                     power = (-0.5 * (ca * dx * dx + cc * dy * dy)
@@ -142,18 +150,20 @@ def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
                     would_done = alpha_ok & (test_T < T_EPS)
                     contrib = alpha_ok & (~would_done) & (done < 0.5)
                     aT = jnp.where(contrib, alpha * T, 0.0)
-                    Cr = Cr + aT * rr[j, :][None, :]
-                    Cg = Cg + aT * gr[j, :][None, :]
-                    Cb = Cb + aT * br[j, :][None, :]
+                    Cr = Cr + aT * rr
+                    Cg = Cg + aT * gr
+                    Cb = Cb + aT * br
                     Dm = jnp.where(contrib & (T > 0.5) & (test_T < 0.5),
-                                   dr[j, :][None, :], Dm)
+                                   dr, Dm)
                     T = jnp.where(contrib, test_T, T)
                     done = jnp.maximum(done,
                                        jnp.where(would_done, 1.0, 0.0))
                     return T, Cr, Cg, Cb, Dm, done
 
-                return jax.lax.fori_loop(0, GPR, step,
-                                         (T, Cr, Cg, Cb, Dm, done))
+                st = inner
+                for j in range(GPR):   # unrolled: static value indices
+                    st = step(j, st)
+                return st
 
             n_blocks = jnp.minimum(
                 pl.cdiv(kmax - k0, GPR), KSEG // GPR)

@@ -39,8 +39,13 @@ def preprocess_gaussians(
     opacities = opacities.reshape(-1)
     w2c = jnp.asarray(w2c, means3d.dtype)
 
-    # view/projection ------------------------------------------------------
-    p_view = means3d @ w2c[:3, :3].T + w2c[:3, 3]
+    # view/projection (expanded: no (N,3)@(3,3) dot_general) ---------------
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    p_view = jnp.stack(
+        [w2c[0, 0] * mx + w2c[0, 1] * my + w2c[0, 2] * mz + w2c[0, 3],
+         w2c[1, 0] * mx + w2c[1, 1] * my + w2c[1, 2] * mz + w2c[1, 3],
+         w2c[2, 0] * mx + w2c[2, 1] * my + w2c[2, 2] * mz + w2c[2, 3]],
+        axis=-1)
     depth = p_view[:, 2]
     visible = depth > cam.z_threshold  # in_frustum near cull
 
@@ -57,31 +62,59 @@ def preprocess_gaussians(
                     ((ndc_y + 1.0) * h - 1.0) * 0.5], axis=-1)
 
     # cov3D from scale+quat (forward.cu:118-152): Sigma = R S S R^T --------
-    R = tf.quat_to_rot(quats)
-    S = scales * scale_modifier
-    M = R * S[:, None, :]                       # columns scaled
-    cov3d = M @ jnp.swapaxes(M, -1, -2)         # (N, 3, 3)
+    # fully expanded to elementwise (N,) expressions: batched (N,3,3)
+    # micro-matmuls each lower to a standalone slow dot_general on TPU,
+    # while this whole block fuses into the surrounding elementwise kernel
+    qn = quats / jnp.maximum(
+        jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    qw, qx, qy, qz = (qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3])
+    sx = scales[:, 0] * scale_modifier
+    sy = scales[:, 1] * scale_modifier
+    sz = scales[:, 2] * scale_modifier
+    # rows of M = R * diag(s): m[a][j] = R[a,j] * s[j]
+    m = (
+        ((1 - 2 * (qy * qy + qz * qz)) * sx,
+         2 * (qx * qy - qw * qz) * sy,
+         2 * (qx * qz + qw * qy) * sz),
+        (2 * (qx * qy + qw * qz) * sx,
+         (1 - 2 * (qx * qx + qz * qz)) * sy,
+         2 * (qy * qz - qw * qx) * sz),
+        (2 * (qx * qz - qw * qy) * sx,
+         2 * (qy * qz + qw * qx) * sy,
+         (1 - 2 * (qx * qx + qy * qy)) * sz),
+    )
+    # cov3d = M @ M^T, 6 unique entries
+    c3 = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(a, 3):
+            c3[a][b] = c3[b][a] = (m[a][0] * m[b][0] + m[a][1] * m[b][1]
+                                   + m[a][2] * m[b][2])
 
     # EWA cov2D (forward.cu:74-113) ---------------------------------------
     limx = 1.3 * cam.tan_fovx
     limy = 1.3 * cam.tan_fovy
     txtz = jnp.clip(p_view[:, 0] / zs, -limx, limx)
     tytz = jnp.clip(p_view[:, 1] / zs, -limy, limy)
-    tx = txtz * zs
-    ty = tytz * zs
     tz = zs
+    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]
+    j00 = fx / tz
+    j02 = -fx * txtz / tz
+    j11 = fy / tz
+    j12 = -fy * tytz / tz
+    W = w2c[:3, :3]                              # view rotation (scalars)
+    # T = J @ W: T[0][k] = j00*W[0,k] + j02*W[2,k]; T[1][k] likewise
+    t0 = [j00 * W[0, k] + j02 * W[2, k] for k in range(3)]
+    t1 = [j11 * W[1, k] + j12 * W[2, k] for k in range(3)]
 
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([fx / tz, zero, -(fx * tx) / (tz * tz)], -1),
-        jnp.stack([zero, fy / tz, -(fy * ty) / (tz * tz)], -1),
-    ], axis=-2)                                  # (N, 2, 3)
-    W = w2c[:3, :3]                              # view rotation
-    T = J @ W                                    # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
-    cov_a = cov2d[:, 0, 0] + 0.3
-    cov_b = cov2d[:, 0, 1]
-    cov_c = cov2d[:, 1, 1] + 0.3
+    def quad(ta, tb):
+        # ta . cov3d . tb
+        u = [ta[0] * c3[0][l] + ta[1] * c3[1][l] + ta[2] * c3[2][l]
+             for l in range(3)]
+        return u[0] * tb[0] + u[1] * tb[1] + u[2] * tb[2]
+
+    cov_a = quad(t0, t0) + 0.3
+    cov_b = quad(t0, t1)
+    cov_c = quad(t1, t1) + 0.3
 
     det = cov_a * cov_c - cov_b * cov_b
     det_ok = det > 0.0

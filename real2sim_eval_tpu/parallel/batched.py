@@ -121,6 +121,7 @@ class BatchedEvaluator:
             rest_x=jnp.asarray(np.stack(rest_x)),
             step=jnp.asarray(0),
         )
+        self.render_telemetry = None
         self._build_fns()
 
     # ------------------------------------------------------------------
@@ -328,8 +329,112 @@ class BatchedEvaluator:
         uniform_res = len({(c.height, c.width)
                            for c, _ in fixed_cams + wrist_cams}) <= 1
 
-        if raster_backend == "pallas" and uniform_res and (fixed_cams
-                                                           or wrist_cams):
+        # ---- static/dynamic partition for incremental fixed-cam rendering
+        # (renderer/incremental.py): object + robot-link splats are the only
+        # gaussians that move for a fixed camera; meshes and the mask-0 scan
+        # splats are constant across envs AND steps
+        mask_np = np.asarray(self.mask)
+        robot_rows = jnp.asarray(np.where(mask_np > 0)[0], jnp.int32)
+        static_rows = jnp.asarray(np.where(mask_np <= 0)[0], jnp.int32)
+        n_static = (int(static_rows.shape[0])
+                    + sum(int(pm["means3D"].shape[0])
+                          for pm in mesh_params.values()))
+        use_incremental = (
+            raster_backend == "pallas" and uniform_res and bool(fixed_cams)
+            and n_static > 0 and rcfg.incremental != "off"
+            and (rcfg.incremental == "on"
+                 or jax.default_backend() == "tpu"))
+
+        def compose_dyn(rel_pose, x_pred, grippers, qpos7_prev):
+            """Dynamic gaussians only: LBS object + articulated robot."""
+            means0, quats0, shs0, scales0, opac0 = obj
+            R = rel_pose[:3, :3]
+            t = rel_pose[:3, 3]
+            means = means0 @ R.T + t
+            dq = tf.rot_to_quat(R)
+            quats = tf.quat_multiply(dq[None], quats0)
+            bones = bones0 @ R.T + t
+            xyz, _ = lbs_mod.interpolate_motions(
+                bones, x_pred - bones, relations, weights, weights_idx,
+                means)
+            eef_rot = tf.quat_to_rot(grippers[6:10])
+            target = tf.make_se3(eef_rot, grippers[:3])
+            qpos7 = ik(qpos7_prev, target)[:7]
+            parts = {
+                "means3D": [xyz], "shs": [shs0], "rotations": [quats],
+                "opacities": [opac0], "scales": [scales0],
+            }
+            if robot_rows.shape[0]:
+                openness_counts = grippers[13] * 800.0
+                q_full = art.full_qpos(qpos7, openness_counts)
+                r_means, r_quats = art.apply(
+                    q_full, table["means3D"][robot_rows],
+                    table["rotations"][robot_rows], mask[robot_rows])
+                parts["means3D"].append(r_means)
+                parts["rotations"].append(r_quats)
+                for k in ("shs", "opacities", "scales"):
+                    parts[k].append(table[k][robot_rows])
+            scene = {k: (jnp.concatenate(v, 0) if len(v) > 1 else v[0])
+                     for k, v in parts.items()}
+            return scene, qpos7
+
+        def static_scene():
+            """Constant gaussians in [meshes..., mask-0 scan] order."""
+            parts = {k: [] for k in ("means3D", "shs", "rotations",
+                                     "opacities", "scales")}
+            for name, pm in mesh_params.items():
+                for k in parts:
+                    parts[k].append(pm[k])
+            if static_rows.shape[0]:
+                for k in parts:
+                    parts[k].append(table[k][static_rows])
+            return {k: jnp.concatenate(v, 0) for k, v in parts.items()}
+
+        if use_incremental:
+            from ..renderer.incremental import (build_static_raster,
+                                                render_incremental)
+            from ..renderer.raster import rasterize_batch
+
+            st_scene = static_scene()
+            cam_static = [
+                (cam, build_static_raster(cam, jnp.asarray(w2c, jnp.float32),
+                                          st_scene, sh_deg, rcfg), w2c)
+                for cam, w2c in fixed_cams]
+
+            @jax.jit
+            def render(state: BatchedState):
+                dyn, qpos_new = jax.vmap(compose_dyn)(
+                    state.rel_pose, state.sm.x, state.grippers, state.qpos7)
+                B = state.sm.x.shape[0]
+                rgb_f, dep_f, tele = render_incremental(
+                    cam_static, dyn, sh_deg, rcfg,
+                    t_budget=rcfg.dirty_budget, p_mix=rcfg.mix_pairs)
+                ims = jnp.swapaxes(rgb_f, 0, 1)
+                depths = jnp.swapaxes(dep_f, 0, 1)
+                if wrist_cams:
+                    # wrist moves with the eef: full pipeline on the
+                    # [dynamic; static] concatenation (the same global
+                    # order the incremental merge reproduces)
+                    scenes = {k: jnp.concatenate(
+                        [dyn[k], jnp.broadcast_to(
+                            st_scene[k][None], (B,) + st_scene[k].shape)],
+                        axis=1) for k in st_scene}
+                    eef_rot = jax.vmap(tf.quat_to_rot)(state.grippers[:, 6:10])
+                    wlist = []
+                    for cam, eef2c in wrist_cams:
+                        w2c_b = jax.vmap(wrist_w2c_jax, in_axes=(None, 0, 0))(
+                            eef2c, state.grippers[:, :3], eef_rot)
+                        wlist.append((cam, w2c_b))
+                    rgb_w, dep_w = rasterize_batch(wlist, scenes, sh_deg,
+                                                   config=rcfg)
+                    wims = jnp.swapaxes(rgb_w, 0, 1)
+                    wdepths = jnp.swapaxes(dep_w, 0, 1)
+                else:
+                    wims = jnp.zeros((B, 0, 1, 1))
+                    wdepths = jnp.zeros((B, 0, 1, 1))
+                return ims, depths, wims, wdepths, qpos_new, tele
+        elif raster_backend == "pallas" and uniform_res and (fixed_cams
+                                                             or wrist_cams):
             # batched pipeline: vmapped compose + binning, ONE compositor
             # grid over (env, camera, tile) — no per-env serialization
             from ..renderer.raster import rasterize_batch
@@ -361,7 +466,8 @@ class BatchedEvaluator:
                 if not fixed_cams:
                     ims = jnp.zeros((B, 0, 1, 1))
                     depths = jnp.zeros((B, 0, 1, 1))
-                return ims, depths, wims, wdepths, qpos_new
+                tele = jnp.zeros((len(fixed_cams), B, 3), jnp.int32)
+                return ims, depths, wims, wdepths, qpos_new, tele
         else:
             @jax.jit
             def render(state: BatchedState):
@@ -385,8 +491,11 @@ class BatchedEvaluator:
                     return (stack(ims), stack(depths), stack(wims),
                             stack(wdepths), qpos_new)
 
-                return jax.lax.map(one_env, (state.rel_pose, state.sm.x,
+                outs = jax.lax.map(one_env, (state.rel_pose, state.sm.x,
                                              state.grippers, state.qpos7))
+                B = state.sm.x.shape[0]
+                return outs + (jnp.zeros((len(fixed_cams), B, 3),
+                                         jnp.int32),)
 
         self._render = render
 
@@ -451,9 +560,12 @@ class BatchedEvaluator:
 
     def render(self):
         """Returns (images (B, C_fixed, 3, H, W), depths, wrist images,
-        wrist depths) and updates the cached IK qpos."""
-        ims, depths, wims, wdepths, qpos_new = self._render(self.state)
+        wrist depths) and updates the cached IK qpos. Dirty-tile telemetry
+        (n_dirty / dropped tiles / dropped pairs per fixed cam x env) lands
+        in ``self.render_telemetry``."""
+        ims, depths, wims, wdepths, qpos_new, tele = self._render(self.state)
         self.state = self.state.replace(qpos7=qpos_new)
+        self.render_telemetry = tele
         return ims, depths, wims, wdepths
 
     def observations(self):

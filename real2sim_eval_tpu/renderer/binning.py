@@ -157,6 +157,7 @@ def bin_gaussians(
 
     return {
         "order": order,
+        "pair_tile": tiles_sorted,     # (max_pairs,) tile id per sorted pair
         "tile_starts": starts,
         "tile_ends": ends,
         "n_pairs": jnp.minimum(n_emitted, max_pairs).astype(jnp.int32),

@@ -1,0 +1,273 @@
+"""Incremental (dirty-tile) splat rendering for fixed cameras.
+
+The reference re-renders every pixel of every camera every control step
+(sim/envs/env.py:53-74 -> gs_renderer.py render path). On TPU at 64
+lockstep envs that makes the compositor ~90% of the step, yet for the
+FIXED cameras almost all of every frame is constant: the scene-scan
+gaussians (table + attached meshes + non-articulated scan splats) move
+neither across control steps nor across environments — only the object
+splats (LBS on the particle state) and the robot-link splats do.
+
+So, per fixed camera:
+
+  build (once per episode batch)
+    - preprocess + tile-bin the static gaussians -> a frozen, depth-sorted
+      static pair stream (pair table, per-tile [start, end), per-pair depth)
+    - composite it once -> cached static RGB/depth frames
+
+  step (per env)
+    - preprocess + bin ONLY the dynamic gaussians (object + robot)
+    - a tile is DIRTY iff it receives >= 1 dynamic pair; clean tiles keep
+      their cached pixels (their pair set is IDENTICAL to the static-only
+      render, so the result is exact by construction, not an approximation)
+    - for each dirty tile, merge the static segment with the dynamic pairs
+      by view depth (vectorized per-pair binary search into the static
+      stream) and gather the merged slice into a compact mix table
+    - one sparse Pallas launch re-composites the dirty tiles in place on
+      top of the cached frames (tile_kernel.rasterize_tiles_sparse)
+
+Ordering parity: the full-sort path orders equal-depth pairs by gaussian
+index (stable argsort). The merge inserts dynamic pairs BEFORE equal-depth
+static pairs, which matches the full sort of a scene concatenated
+[dynamic; static] — tests compare against exactly that ordering.
+
+Static budgets (both report their drops, binning.py's
+no-silent-under-render rule): ``t_budget`` dirty tiles per instance and
+``p_mix`` merged pairs per instance; overflow counts are telemetry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .binning import bin_gaussians
+from .camera import Camera
+from .preprocess import preprocess_gaussians
+from .raster import TILE_H, TILE_W, RasterConfig, gather_pair_attrs
+from .tile_kernel import (ATTR, GPR, rasterize_tiles_batch,
+                          rasterize_tiles_sparse)
+
+DEPTH_LANE = 9   # depth lives in lane 9 of the packed pair attrs
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticRaster:
+    """Frozen static-scene raster state for ONE fixed camera."""
+
+    data_pairs: jax.Array     # (P_s, ATTR) depth-sorted-per-tile attr rows
+    pair_depth: jax.Array     # (P_s,) view depth per static pair
+    starts: jax.Array         # (n_tiles,) pair range per tile
+    ends: jax.Array           # (n_tiles,)
+    rgb_cache: jax.Array      # (3, h_pad + TILE_H, w_pad) incl. junk row
+    depth_cache: jax.Array    # (h_pad + TILE_H, w_pad)
+    n_tiles_x: int
+    n_tiles_y: int
+    max_seg: int              # longest static per-tile segment (host int)
+    height: int
+    width: int
+
+
+def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
+                        config: RasterConfig, bg=(0.0, 0.0, 0.0)
+                        ) -> StaticRaster:
+    """Preprocess + bin + composite the static gaussians once."""
+    n = scene["means3D"].shape[0]
+    ntx = -(-cam.width // TILE_W)
+    nty = -(-cam.height // TILE_H)
+    max_pairs = int(config.max_pairs_factor * n)
+    max_pairs = -(-max_pairs // config.chunk) * config.chunk
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+
+    shs = scene["shs"] if sh_degree > 0 else scene["shs"][:, :1]
+    pre = preprocess_gaussians(cam, jnp.asarray(w2c, jnp.float32),
+                               scene["means3D"], scene["scales"],
+                               scene["rotations"], scene["opacities"],
+                               shs, sh_degree)
+    bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs,
+                         config.max_tiles_per_gaussian,
+                         small_tiles=config.small_tiles,
+                         max_large=config.max_large)
+    attrs = gather_pair_attrs(pre, bins["order"], n)          # (P_s, ATTR)
+    depth = jnp.where(bins["order"] < n, attrs[:, DEPTH_LANE], jnp.inf)
+    packed = attrs.reshape(-1, GPR * ATTR)
+    rgb, dep = rasterize_tiles_batch(
+        packed, bins["tile_starts"][None], bins["tile_ends"][None],
+        ntx, nty, chunk=config.chunk, bg=bg, interpret=config.interpret)
+    pad = ((0, 0), (0, TILE_H), (0, 0))
+    max_seg = int(jax.device_get(
+        jnp.max(bins["tile_ends"] - bins["tile_starts"])))
+    return StaticRaster(
+        data_pairs=attrs, pair_depth=depth,
+        starts=bins["tile_starts"], ends=bins["tile_ends"],
+        rgb_cache=jnp.pad(rgb[0], ((0, 0),) + pad[1:]),
+        depth_cache=jnp.pad(dep[0], pad[1:]),
+        n_tiles_x=ntx, n_tiles_y=nty, max_seg=max_seg,
+        height=cam.height, width=cam.width)
+
+
+def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
+                   config: RasterConfig, t_budget: int, p_mix: int):
+    """Per-env merge of the dynamic pairs into the static stream.
+
+    Returns (mix_attrs (p_mix, ATTR), dirty_ids (t_budget,),
+    starts/ends (t_budget,), telemetry (3,) i32 =
+    [n_dirty, dropped_tiles, dropped_pairs])."""
+    ntx, nty = static.n_tiles_x, static.n_tiles_y
+    n_tiles = ntx * nty
+    p_s = static.data_pairs.shape[0]
+    max_pairs_d = int(config.max_pairs_factor * n_dyn)
+    max_pairs_d = -(-max_pairs_d // GPR) * GPR
+
+    bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
+                         config.max_tiles_per_gaussian,
+                         small_tiles=config.small_tiles,
+                         max_large=config.max_large)
+    order_d = bins["order"]
+    tile_d = bins["pair_tile"]                               # (P_d,)
+    p_d = tile_d.shape[0]
+    d_attr = gather_pair_attrs(pre, order_d, n_dyn)          # (P_d, ATTR)
+    depth_d = d_attr[:, DEPTH_LANE]
+    valid_d = tile_d < n_tiles
+
+    # --- merged insert position: leftmost static pair with depth >= d ----
+    t_cl = jnp.minimum(tile_d, n_tiles - 1)
+    lo = static.starts[t_cl]
+    hi = static.ends[t_cl]
+    iters = max(static.max_seg, 1).bit_length()
+
+    def bs_body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = static.pair_depth[jnp.minimum(mid, p_s - 1)]
+        go = v < depth_d
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    insert, _ = jax.lax.fori_loop(0, iters, bs_body, (lo, hi))
+
+    # --- dirty tiles, compacted ascending ---------------------------------
+    cnt_d = bins["tile_ends"] - bins["tile_starts"]          # (n_tiles,)
+    dirty = cnt_d > 0
+    n_dirty = jnp.sum(dirty.astype(jnp.int32))
+    keys = jnp.where(dirty, jnp.arange(n_tiles, dtype=jnp.int32),
+                     jnp.int32(n_tiles))
+    dirty_ids = jax.lax.sort(keys)[:t_budget]
+    real = dirty_ids < n_tiles
+    t_safe = jnp.minimum(dirty_ids, n_tiles - 1)
+    len_s = jnp.where(real, static.ends[t_safe] - static.starts[t_safe], 0)
+    len_dd = jnp.where(real, cnt_d[t_safe], 0)
+    length = len_s + len_dd
+    csum = jnp.cumsum(length)
+    off = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+    total = csum[-1]
+    over_pairs = jnp.maximum(total - p_mix, 0)
+    over_tiles = jnp.maximum(n_dirty - t_budget, 0)
+
+    # --- dynamic pairs -> mix slots ---------------------------------------
+    dslot = jnp.clip(jnp.searchsorted(dirty_ids, tile_d).astype(jnp.int32),
+                     0, t_budget - 1)
+    in_budget = (dirty_ids[dslot] == tile_d) & valid_d
+    j_idx = jnp.arange(p_d, dtype=jnp.int32)
+    out_j = (off[dslot] + (insert - static.starts[t_cl])
+             + (j_idx - bins["tile_starts"][t_cl]))
+    ok_j = in_budget & (out_j < p_mix)
+    tgt = jnp.where(ok_j, out_j, p_mix)                      # drop slot
+    mark = jnp.zeros((p_mix,), jnp.int32).at[tgt].set(1, mode="drop")
+    src_dyn = jnp.zeros((p_mix,), jnp.int32).at[tgt].set(
+        p_s + j_idx, mode="drop")
+
+    # --- static fill between the inserted dynamic pairs -------------------
+    pos = jnp.arange(p_mix, dtype=jnp.int32)
+    slot = jnp.clip(jnp.searchsorted(off, pos, side="right").astype(
+        jnp.int32) - 1, 0, t_budget - 1)
+    p_rel = pos - off[slot]
+    c_ex = jnp.cumsum(mark) - mark                           # dyn slots < p
+    c_off = jnp.take(c_ex, jnp.minimum(off, p_mix - 1))[slot]
+    dyn_before = c_ex - c_off
+    s_idx = static.starts[jnp.minimum(t_safe[slot], n_tiles - 1)] \
+        + p_rel - dyn_before
+    in_use = (pos < total) & real[slot]
+    mix_src = jnp.where(mark == 1, src_dyn,
+                        jnp.where(in_use, s_idx, p_s + p_d))
+
+    all_pairs = jnp.concatenate(
+        [static.data_pairs, d_attr,
+         jnp.zeros((1, ATTR), jnp.float32)], axis=0)
+    mix = all_pairs[jnp.clip(mix_src, 0, p_s + p_d)]         # (p_mix, ATTR)
+
+    starts_m = jnp.minimum(off, p_mix).astype(jnp.int32)
+    ends_m = jnp.minimum(off + length, p_mix).astype(jnp.int32)
+    tele = jnp.stack([n_dirty, over_tiles, over_pairs]).astype(jnp.int32)
+    return mix, dirty_ids, starts_m, ends_m, tele
+
+
+def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
+                       sh_degree: int, config: RasterConfig,
+                       t_budget: int = 96, p_mix: int = 32768,
+                       bg=(0.0, 0.0, 0.0)):
+    """Render B envs x n fixed cameras incrementally.
+
+    Args:
+      cam_static_w2c: list of (Camera, StaticRaster, w2c (4,4)) per fixed
+        camera (all same resolution).
+      dyn_scenes: dict of stacked (B, N_dyn, ...) DYNAMIC gaussians only.
+    Returns:
+      (rgb (n_cams, B, 3, h, w) clipped, depth (n_cams, B, h, w),
+       telemetry (n_cams, B, 3) i32 [n_dirty, dropped_tiles, dropped_pairs])
+    """
+    assert cam_static_w2c
+    cam0, st0, _ = cam_static_w2c[0]
+    h, w = cam0.height, cam0.width
+    ntx, nty = st0.n_tiles_x, st0.n_tiles_y
+    B = dyn_scenes["means3D"].shape[0]
+    n_dyn = dyn_scenes["means3D"].shape[1]
+    p_mix = -(-p_mix // GPR) * GPR
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+    shs = dyn_scenes["shs"] if sh_degree > 0 else dyn_scenes["shs"][:, :, :1]
+
+    mixes, dids, starts, ends, teles, caches_rgb, caches_dep = \
+        [], [], [], [], [], [], []
+    for cam, static, w2c in cam_static_w2c:
+        assert (cam.height, cam.width) == (h, w)
+
+        def one(means, scales, quats, opac, sh, _cam=cam, _st=static,
+                _w2c=jnp.asarray(w2c, jnp.float32)):
+            pre = preprocess_gaussians(_cam, _w2c, means, scales, quats,
+                                       opac, sh, sh_degree)
+            return _merge_one_env(_st, pre, n_dyn, config, t_budget, p_mix)
+
+        m, d, s, e, t = jax.vmap(one)(
+            dyn_scenes["means3D"], dyn_scenes["scales"],
+            dyn_scenes["rotations"], dyn_scenes["opacities"], shs)
+        mixes.append(m)
+        dids.append(d)
+        starts.append(s)
+        ends.append(e)
+        teles.append(t)
+        caches_rgb.append(jnp.broadcast_to(
+            static.rgb_cache[None], (B,) + static.rgb_cache.shape))
+        caches_dep.append(jnp.broadcast_to(
+            static.depth_cache[None], (B,) + static.depth_cache.shape))
+
+    mix = jnp.concatenate(mixes, axis=0)          # (I, p_mix, ATTR)
+    n_inst = mix.shape[0]
+    data = mix.reshape(-1, GPR * ATTR)
+    inst_off = (jnp.arange(n_inst, dtype=jnp.int32) * p_mix)[:, None]
+    starts = jnp.concatenate(starts, axis=0) + inst_off
+    ends = jnp.concatenate(ends, axis=0) + inst_off
+    dirty_ids = jnp.concatenate(dids, axis=0)
+
+    rgb, depth = rasterize_tiles_sparse(
+        data, dirty_ids, starts, ends,
+        jnp.concatenate(caches_rgb, axis=0),
+        jnp.concatenate(caches_dep, axis=0),
+        ntx, nty, chunk=config.chunk, bg=bg, interpret=config.interpret)
+
+    n_cams = len(cam_static_w2c)
+    rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(n_cams, B, 3, h, w)
+    depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
+    tele = jnp.stack(teles, axis=0)
+    return rgb, depth, tele

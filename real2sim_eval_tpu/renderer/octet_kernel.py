@@ -203,6 +203,18 @@ def rasterize_octet_batch(data, fine_starts, fine_ends, groups, n_super_x,
     n_inst = fine_starts.shape[0]
     n_super = n_super_x * n_super_y
     n_fine_x = n_super_x * groups
+    n_fine = fine_starts.shape[1]
+    # prefetch scalars live in SMEM (1 MiB budget per operand): split the
+    # instance axis over multiple launches when (I, n_fine) i32 won't fit;
+    # every launch references the FULL data buffer with global offsets
+    max_inst = max(int(0.45e6) // (n_fine * 4), 1)
+    if n_inst > max_inst:
+        outs = [rasterize_octet_batch(
+            data, fine_starts[i:i + max_inst], fine_ends[i:i + max_inst],
+            groups, n_super_x, n_super_y, bg, interpret)
+            for i in range(0, n_inst, max_inst)]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
     # segment DMA may over-read up to SEGR rows past the last pair
     data = jnp.pad(data, ((0, SEGR), (0, 0)))
     n_rows = data.shape[0]

@@ -56,6 +56,12 @@ class RasterConfig:
     max_large: int = 4096              # big-rect gaussians granted full rects
     kernel: str = "wide"               # compositor: wide (8,128) | octet
     octet_groups: int = 4              # fine tiles per supertile row (octet)
+    # incremental (dirty-tile) rendering of fixed cameras on a static scene
+    # (renderer/incremental.py): "auto" enables it on TPU, "on" forces it
+    # (e.g. interpret-mode tests), "off" always uses the full pipeline
+    incremental: str = "auto"
+    dirty_budget: int = 96             # re-composited tiles per instance
+    mix_pairs: int = 32768             # merged pair budget per instance
 
 
 def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
@@ -83,15 +89,15 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
     return _composite_pallas(cam, pre, bg, config)
 
 
-def gather_pair_table(pre: dict, order: jax.Array, n: int) -> jax.Array:
-    """Sorted pair attribute table: pack per-GAUSSIAN attrs into one 16-lane
-    row FIRST, then do a SINGLE row gather by pair order.
+def gather_pair_attrs(pre: dict, order: jax.Array, n: int) -> jax.Array:
+    """Pair-level attribute table (P, ATTR): pack per-GAUSSIAN attrs into
+    one 16-lane row FIRST, then do a SINGLE row gather by pair order.
 
     TPU gathers cost per ROW (~tens of ns each, serialized): gathering the
     five attribute arrays separately was 5x the rows and measured 300+ ms
     per step at 24 render instances; one pre-packed gather is ~5x cheaper
     and lands directly in the kernel's 16-lane-per-gaussian layout."""
-    from .tile_kernel import ATTR, GPR
+    from .tile_kernel import ATTR
 
     attrs = jnp.concatenate([
         pre["xy"], pre["conic"], pre["opacity"][:, None], pre["rgb"],
@@ -100,7 +106,14 @@ def gather_pair_table(pre: dict, order: jax.Array, n: int) -> jax.Array:
     attrs = jnp.pad(attrs, ((0, 1), (0, ATTR - attrs.shape[1])))
     # padding row n is all-zero: invalid pairs (order == n) kill themselves
     # via zero opacity
-    gathered = attrs[jnp.minimum(order, n)]               # ONE (P, 16) gather
+    return attrs[jnp.minimum(order, n)]                   # ONE (P, 16) gather
+
+
+def gather_pair_table(pre: dict, order: jax.Array, n: int) -> jax.Array:
+    """Packed (P/8, 128) kernel pair table (see gather_pair_attrs)."""
+    from .tile_kernel import ATTR, GPR
+
+    gathered = gather_pair_attrs(pre, order, n)
     p = gathered.shape[0]
     assert p % GPR == 0
     return gathered.reshape(-1, GPR * ATTR)

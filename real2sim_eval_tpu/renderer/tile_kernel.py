@@ -41,21 +41,11 @@ def pack_pair_table(gathered: jax.Array) -> jax.Array:
     return data.reshape(-1, GPR * ATTR)
 
 
-def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
-            n_tiles_x: int, n_tiles: int, chunk_rows: int, n_rows: int, bg):
-    g = pl.program_id(0)          # global (instance, tile) program id
-    t = g % n_tiles               # tile within the instance
-    ty = t // n_tiles_x
-    tx = t % n_tiles_x
-
-    start = starts_ref[g]         # row offsets are global across instances
-    end = ends_ref[g]
-
-    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-          ).astype(jnp.float32)
-    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-          ).astype(jnp.float32)
-
+def _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
+                      rgb_ref, depth_ref):
+    """Shared per-tile compositing loop: DMA chunks of the packed pair
+    table and run the front-to-back blend over the [start, end) pair range,
+    writing the (1, 3, H, W) rgb and (1, H, W) depth block refs."""
     chunk_g = chunk_rows * GPR
     n_chunks = pl.cdiv(n_rows, chunk_rows)
 
@@ -134,6 +124,51 @@ def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
     )
 
 
+def _kernel(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
+            n_tiles_x: int, n_tiles: int, chunk_rows: int, n_rows: int, bg):
+    g = pl.program_id(0)          # global (instance, tile) program id
+    t = g % n_tiles               # tile within the instance
+    ty = t // n_tiles_x
+    tx = t % n_tiles_x
+
+    start = starts_ref[g]         # row offsets are global across instances
+    end = ends_ref[g]
+
+    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          ).astype(jnp.float32)
+    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          ).astype(jnp.float32)
+
+    _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
+                      rgb_ref, depth_ref)
+
+
+def _kernel_sparse(dids_ref, starts_ref, ends_ref, data_hbm, rgb_in, depth_in,
+                   rgb_ref, depth_ref, *, n_tiles_x: int, n_tiles: int,
+                   chunk_rows: int, n_rows: int, bg):
+    """Dirty-tile compositor: program g re-composites the tile named by
+    dids_ref[g]; sentinel ids (>= n_tiles) land on the padded junk tile row
+    (see rasterize_tiles_sparse). rgb_in/depth_in are the cached static
+    frames the outputs alias — untouched (clean) tiles keep their pixels."""
+    del rgb_in, depth_in          # alias sources; never read in-kernel
+    g = pl.program_id(0)
+    tid = dids_ref[g]
+    t = jnp.where(tid < n_tiles, tid, 0)
+    ty = t // n_tiles_x
+    tx = t % n_tiles_x
+
+    start = starts_ref[g]
+    end = ends_ref[g]
+
+    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          ).astype(jnp.float32)
+    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          ).astype(jnp.float32)
+
+    _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
+                      rgb_ref, depth_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
                                              "chunk", "bg", "interpret"))
 def rasterize_tiles(data, tile_starts, tile_ends, n_tiles_x, n_tiles_y,
@@ -193,4 +228,74 @@ def rasterize_tiles_batch(data, tile_starts, tile_ends, n_tiles_x, n_tiles_y,
         ],
         interpret=interpret,
     )(tile_starts.reshape(-1), tile_ends.reshape(-1), data)
+    return rgb, depth
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
+                                             "chunk", "bg", "interpret"))
+def rasterize_tiles_sparse(data, dirty_ids, starts, ends, rgb_cached,
+                           depth_cached, n_tiles_x, n_tiles_y, chunk, bg,
+                           interpret=False):
+    """Incremental compositor: re-render ONLY the dirty tiles of each
+    instance on top of cached frames.
+
+    Args:
+      data: (total_rows, 128) packed pair table (all instances' dirty-tile
+        streams concatenated, 8 pairs per row).
+      dirty_ids: (I, T_budget) i32 tile ids to re-composite; entries >=
+        n_tiles are sentinels (their programs write a junk pad tile row).
+      starts/ends: (I, T_budget) GLOBAL pair offsets into data per dirty
+        tile (sentinels: start == end).
+      rgb_cached / depth_cached: (I, 3, h_pad + TILE_H, w_pad) and
+        (I, h_pad + TILE_H, w_pad) cached frames INCLUDING the junk pad
+        tile row; outputs alias them, so clean tiles keep their pixels.
+    Returns (rgb, depth) of the same padded shapes (caller crops).
+    """
+    n_inst, t_budget = dirty_ids.shape
+    n_rows = data.shape[0]
+    chunk_rows = max(chunk // GPR, 8)
+    if n_rows % chunk_rows:
+        data = jnp.pad(data, ((0, chunk_rows - n_rows % chunk_rows), (0, 0)))
+        n_rows = data.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y
+    h_pad = n_tiles_y * TILE_H
+    w_pad = n_tiles_x * TILE_W
+    assert rgb_cached.shape == (n_inst, 3, h_pad + TILE_H, w_pad)
+    assert depth_cached.shape == (n_inst, h_pad + TILE_H, w_pad)
+
+    def out_iy(g, d):
+        t = d[g]
+        return jnp.where(t < n_tiles, t // n_tiles_x, n_tiles_y)
+
+    def out_ix(g, d):
+        t = d[g]
+        return jnp.where(t < n_tiles, t % n_tiles_x, 0)
+
+    kernel = functools.partial(_kernel_sparse, n_tiles_x=n_tiles_x,
+                               n_tiles=n_tiles, chunk_rows=chunk_rows,
+                               n_rows=n_rows, bg=bg)
+    rgb_spec = pl.BlockSpec(
+        (1, 3, TILE_H, TILE_W),
+        lambda g, d, s, e: (g // t_budget, 0, out_iy(g, d), out_ix(g, d)))
+    depth_spec = pl.BlockSpec(
+        (1, TILE_H, TILE_W),
+        lambda g, d, s, e: (g // t_budget, out_iy(g, d), out_ix(g, d)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_inst * t_budget,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), rgb_spec, depth_spec],
+        out_specs=[rgb_spec, depth_spec],
+    )
+    rgb, depth = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(rgb_cached.shape, jnp.float32),
+            jax.ShapeDtypeStruct(depth_cached.shape, jnp.float32),
+        ],
+        # operand numbering includes the 3 scalar-prefetch args
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(dirty_ids.reshape(-1), starts.reshape(-1), ends.reshape(-1), data,
+      rgb_cached, depth_cached)
     return rgb, depth

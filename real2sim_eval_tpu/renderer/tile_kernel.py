@@ -69,30 +69,39 @@ def _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
             def row_body(jr, inner):
                 T, Cr, Cg, Cb, D, done = inner
                 g_base = c * chunk_g + jr * GPR
+                # ONE vector row load; per-gaussian attributes come off it
+                # as static (1,1) lane slices that splat against the (8,128)
+                # pixel blocks — serialized scalar VMEM loads (10 per
+                # gaussian) were the kernel's actual bottleneck
+                row = scratch[pl.ds(jr, 1), :]
+                zero_row = jnp.zeros((1, TILE_W), jnp.float32)
                 for jm in range(GPR):  # static lane offsets
                     o = jm * ATTR
-                    gx = scratch[jr, o + 0]
-                    gy = scratch[jr, o + 1]
-                    ca = scratch[jr, o + 2]
-                    cb = scratch[jr, o + 3]
-                    cc = scratch[jr, o + 4]
-                    op = scratch[jr, o + 5]
+
+                    def a(i, _o=o):
+                        # (1,1) + (1,W) zeros = lane-only broadcast; the
+                        # add blocks jax from folding the broadcast chain
+                        # into a (1,1)->(8,128) both-dims broadcast, which
+                        # Mosaic cannot lower
+                        return row[:, _o + i:_o + i + 1] + zero_row
+
                     in_range = (g_base + jm >= start) & (g_base + jm < end)
-                    dx = gx - px
-                    dy = gy - py
-                    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+                    dx = a(0) - px
+                    dy = a(1) - py
+                    power = (-0.5 * (a(2) * dx * dx + a(4) * dy * dy)
+                             - a(3) * dx * dy)
+                    alpha = jnp.minimum(ALPHA_MAX, a(5) * jnp.exp(power))
                     alpha = jnp.where((power <= 0.0) & in_range, alpha, 0.0)
                     alpha_ok = alpha >= ALPHA_MIN
                     test_T = T * (1.0 - alpha)
                     would_done = alpha_ok & (test_T < T_EPS)
                     contrib = alpha_ok & (~would_done) & (done < 0.5)
                     aT = jnp.where(contrib, alpha * T, 0.0)
-                    Cr = Cr + aT * scratch[jr, o + 6]
-                    Cg = Cg + aT * scratch[jr, o + 7]
-                    Cb = Cb + aT * scratch[jr, o + 8]
+                    Cr = Cr + aT * a(6)
+                    Cg = Cg + aT * a(7)
+                    Cb = Cb + aT * a(8)
                     D = jnp.where(contrib & (T > 0.5) & (test_T < 0.5),
-                                  scratch[jr, o + 9], D)
+                                  a(9), D)
                     T = jnp.where(contrib, test_T, T)
                     done = jnp.maximum(done, jnp.where(would_done, 1.0, 0.0))
                 return T, Cr, Cg, Cb, D, done

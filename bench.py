@@ -135,6 +135,48 @@ def golden_check(ev):
                       "unit": f"max|rgb diff|={d_rgb:.2e}, "
                               f"max|depth diff|={d_dep:.2e}",
                       "vs_baseline": 1.0 if ok else 0.0}))
+    return ok and incremental_check(ev)
+
+
+def incremental_check(ev):
+    """Compiled incremental (dirty-tile) path vs the full batched pipeline
+    on the [dynamic; static] scene — asserts the pixels the flagship bench
+    actually produces for the fixed cameras."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real2sim_eval_tpu.renderer.incremental import render_incremental
+    from real2sim_eval_tpu.renderer.raster import rasterize_batch
+
+    dbg = getattr(ev, "_incremental_debug", None)
+    if dbg is None:
+        print(json.dumps({"metric": "incremental_golden_pixel_check",
+                          "value": 0, "unit": "incremental path not active",
+                          "vs_baseline": 0.0}))
+        return False
+    st = ev.state
+    dyn, _ = dbg["compose_dyn"](st.rel_pose, st.sm.x, st.grippers, st.qpos7)
+    dyn = {k: v[:2] for k, v in dyn.items()}
+    B = 2
+    rcfg = ev.raster_config
+    rgb_i, dep_i, _ = render_incremental(dbg["cam_static"], dyn,
+                                         dbg["sh_deg"], rcfg)
+    sts = dbg["static_scene"]
+    scenes = {k: jnp.concatenate(
+        [dyn[k], jnp.broadcast_to(sts[k][None], (B,) + sts[k].shape)],
+        axis=1) for k in sts}
+    cams = [(cam, jnp.broadcast_to(jnp.asarray(w2c, jnp.float32)[None],
+                                   (B, 4, 4)))
+            for cam, _, w2c in dbg["cam_static"]]
+    rgb_f, dep_f = rasterize_batch(cams, scenes, dbg["sh_deg"], config=rcfg)
+    d_rgb = float(jnp.abs(rgb_i - rgb_f).max())
+    d_dep = float(jnp.abs(dep_i - dep_f).max())
+    ok = d_rgb < 2e-2 and d_dep < 1e-2
+    print(json.dumps({"metric": "incremental_golden_pixel_check",
+                      "value": 1 if ok else 0,
+                      "unit": f"max|rgb diff|={d_rgb:.2e}, "
+                              f"max|depth diff|={d_dep:.2e}",
+                      "vs_baseline": 1.0 if ok else 0.0}))
     return ok
 
 

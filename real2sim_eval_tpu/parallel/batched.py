@@ -400,6 +400,12 @@ class BatchedEvaluator:
                 (cam, build_static_raster(cam, jnp.asarray(w2c, jnp.float32),
                                           st_scene, sh_deg, rcfg), w2c)
                 for cam, w2c in fixed_cams]
+            # exposed for on-chip golden checks (bench.py --check)
+            self._incremental_debug = {
+                "cam_static": cam_static, "static_scene": st_scene,
+                "compose_dyn": jax.jit(jax.vmap(compose_dyn)),
+                "sh_deg": sh_deg,
+            }
 
             @jax.jit
             def render(state: BatchedState):

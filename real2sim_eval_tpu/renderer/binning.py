@@ -78,6 +78,19 @@ def bin_gaussians(
     n_pairs_unclamped = jnp.sum(counts).astype(jnp.int32)
     n_emitted = jnp.sum(counts_c).astype(jnp.int32)
 
+    # exact-cull inputs (depth order): a (gaussian, tile) slot whose MINIMUM
+    # conic quadratic over the tile's pixel box keeps alpha strictly below
+    # the 1/255 compositor floor contributes EXACTLY ZERO in every backend
+    # (alpha_ok fails per pixel), so dropping it is pixel-exact — unlike
+    # the CUDA rasterizer's pure 3-sigma circle rect (auxiliary.h getRect),
+    # which duplicates such pairs and burns kernel time on them. The 1e-3
+    # threshold slack keeps borderline pairs (the kernel decides those).
+    gx_o = xy[order_g, 0]
+    gy_o = xy[order_g, 1]
+    conic_o = pre["conic"][order_g]
+    q_thr_o = 2.0 * jnp.log(255.0 * jnp.maximum(
+        pre["opacity"][order_g], 1e-12)) + 1e-3
+
     # 2. slot emission in depth order (no scatter): a dense (N, d_small)
     # block covers typical rects; the k_large gaussians with the biggest
     # rects get a continuation block for slots [d_small, D). Both report
@@ -86,15 +99,46 @@ def bin_gaussians(
         d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
         if sel is None:
             rw, xx0, yy0, cnt, og = rect_w, x0o, y0o, counts_c, order_g
+            gx, gy, co, qt = gx_o, gy_o, conic_o, q_thr_o
         else:
             rw, xx0, yy0 = rect_w[sel], x0o[sel], y0o[sel]
             cnt, og = counts_c[sel], order_g[sel]
+            gx, gy, co, qt = gx_o[sel], gy_o[sel], conic_o[sel], q_thr_o[sel]
             # rank of a large slot = the owning gaussian's depth rank
             rank = sel[:, None] * jnp.int32(1)
         rwm = jnp.maximum(rw, 1)[:, None]
         tx = xx0[:, None] + d % rwm
         ty = yy0[:, None] + d // rwm
         ok = d < cnt[:, None]
+
+        # exact tile cull: min of q = ca*dx^2 + 2*cb*dx*dy + cc*dy^2 over
+        # the tile's pixel box. The PD-quadratic min over a box is either
+        # the (clamped) unconstrained optimum or an edge point whose free
+        # coordinate is the clamped 1D stationary point — 5 candidates.
+        ca = co[:, 0:1]
+        cb = co[:, 1:2]
+        cc = jnp.maximum(co[:, 2:3], 1e-12)
+        caf = jnp.maximum(ca, 1e-12)
+        lx = (tx * tile_w).astype(jnp.float32) - gx[:, None]
+        ux = lx + (tile_w - 1)
+        ly = (ty * tile_h).astype(jnp.float32) - gy[:, None]
+        uy = ly + (tile_h - 1)
+
+        def q(dx, dy):
+            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+        def cl(v, lo, hi):
+            return jnp.clip(v, lo, hi)
+
+        q0 = q(cl(0.0, lx, ux), cl(0.0, ly, uy))
+        q1 = q(lx, cl(-cb * lx / cc, ly, uy))
+        q2 = q(ux, cl(-cb * ux / cc, ly, uy))
+        q3 = q(cl(-cb * ly / caf, lx, ux), ly)
+        q4 = q(cl(-cb * uy / caf, lx, ux), uy)
+        qmin = jnp.minimum(jnp.minimum(jnp.minimum(q0, q1),
+                                       jnp.minimum(q2, q3)), q4)
+        ok = ok & (qmin <= qt[:, None])
+
         tile = jnp.where(ok, (ty * n_tiles_x + tx), n_tiles)
         gid = jnp.where(ok, og[:, None], n)
         if sel is None:
@@ -116,12 +160,13 @@ def bin_gaussians(
         extra = jnp.maximum(counts_c - d_small, 0)
         n_large_dropped = (jnp.sum(extra) - jnp.sum(extra[sel])
                            ).astype(jnp.int32)
-        n_emitted = n_emitted - n_large_dropped
     else:
         tile_f, gid_f, rank_f = tiles1, gid1, rank1
         n_large_dropped = jnp.sum(
             jnp.maximum(counts_c - d_small, 0)).astype(jnp.int32)
-        n_emitted = n_emitted - n_large_dropped
+    # exact-culled slots carry the sentinel tile: count what actually
+    # survives (culled pairs are pixel-exact zero, NOT drops)
+    n_emitted = jnp.sum(tile_f < n_tiles).astype(jnp.int32)
     n_rect_dropped = (jnp.sum(counts - counts_c).astype(jnp.int32)
                       + n_large_dropped)
 

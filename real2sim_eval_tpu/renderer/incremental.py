@@ -180,16 +180,26 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
         p_s + j_idx, mode="drop")
 
     # --- static fill between the inserted dynamic pairs -------------------
+    # the static index at position p of slot d is
+    #   s_idx(p) = starts_s[t_d] + (p - off_d) - (c_ex(p) - c_ex(off_d))
+    #            = A_d + p - c_ex(p),  A_d = starts_s[t_d] - off_d + c_ex(off_d)
+    # A is NON-DECREASING over ascending real slots (A_{d+1} - A_d equals
+    # the static-stream gap starts_s[t_{d+1}] - ends_s[t_d] >= 0), so a
+    # scatter of A at each slot's start offset + a cummax forward-fill
+    # replaces per-position slot lookups (log-depth gathers over p_mix
+    # rows, serialized on TPU). Real dirty slots always have length >= 1
+    # (dirty == at least one dynamic pair), so their seed offsets are
+    # distinct; sentinel slots seed -BIG which never wins the cummax.
     pos = jnp.arange(p_mix, dtype=jnp.int32)
-    slot = jnp.clip(jnp.searchsorted(off, pos, side="right").astype(
-        jnp.int32) - 1, 0, t_budget - 1)
-    p_rel = pos - off[slot]
     c_ex = jnp.cumsum(mark) - mark                           # dyn slots < p
-    c_off = jnp.take(c_ex, jnp.minimum(off, p_mix - 1))[slot]
-    dyn_before = c_ex - c_off
-    s_idx = static.starts[jnp.minimum(t_safe[slot], n_tiles - 1)] \
-        + p_rel - dyn_before
-    in_use = (pos < total) & real[slot]
+    off_cl = jnp.minimum(off, p_mix - 1)
+    big = jnp.int32(1 << 30)
+    a_slot = static.starts[t_safe] - off + jnp.take(c_ex, off_cl)
+    seeded = jnp.full((p_mix,), -big, jnp.int32).at[off_cl].max(
+        jnp.where(real, a_slot, -big), mode="drop")
+    a_at = jax.lax.cummax(seeded)
+    s_idx = a_at + pos - c_ex
+    in_use = (pos < total) & (s_idx >= 0)
     mix_src = jnp.where(mark == 1, src_dyn,
                         jnp.where(in_use, s_idx, p_s + p_d))
 

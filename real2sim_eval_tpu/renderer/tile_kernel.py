@@ -106,8 +106,24 @@ def _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
                     done = jnp.maximum(done, jnp.where(would_done, 1.0, 0.0))
                 return T, Cr, Cg, Cb, D, done
 
-            T, Cr, Cg, Cb, D, done = jax.lax.fori_loop(
-                row_lo, row_hi, row_body, (T, Cr, Cg, Cb, D, done))
+            # row-level (8-pair) early termination: renderCUDA's
+            # __syncthreads_count early-out fires per 256-pair batch; a
+            # typical tile has only ~1-2 chunks, so chunk-level checks
+            # almost never fire. Front-to-back T saturates within tens of
+            # pairs for opaque close-up splats (the wrist camera), making
+            # the per-row max-reduce (~2 vector ops vs ~160 for 8 pairs)
+            # pay for itself many times over.
+            def row_cond(carry):
+                jr, T, _, _, _, _, done = carry
+                return (jr < row_hi) & \
+                    (jnp.max(T * (1.0 - done)) >= T_EPS)
+
+            def row_step(carry):
+                jr, *st = carry
+                return (jr + 1,) + tuple(row_body(jr, tuple(st)))
+
+            _, T, Cr, Cg, Cb, D, done = jax.lax.while_loop(
+                row_cond, row_step, (row_lo, T, Cr, Cg, Cb, D, done))
             return c + 1, T, Cr, Cg, Cb, D, done
 
         shape = (TILE_H, TILE_W)

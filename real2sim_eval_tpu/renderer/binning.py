@@ -51,7 +51,9 @@ def bin_gaussians(
       max_pairs: static capacity of the (gaussian, tile) pair buffer.
       max_tiles_per_gaussian: per-gaussian tile-rect clamp (D).
     Returns dict with:
-      order: (max_pairs,) i32 gaussian index per sorted pair (invalid -> N)
+      rank: (max_pairs,) i32 depth rank per sorted pair (invalid -> N);
+        the gaussian index is order_g[rank]
+      order_g: (N,) i32 gaussian ids sorted by view depth
       tile_starts / tile_ends: (n_tiles,) i32 pair ranges per tile
       n_pairs: () i32 pairs that made it into the buffer
       n_pairs_unclamped: () i32 pairs before the capacity crop
@@ -98,11 +100,11 @@ def bin_gaussians(
     def emit(d_lo, d_hi, sel=None):
         d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
         if sel is None:
-            rw, xx0, yy0, cnt, og = rect_w, x0o, y0o, counts_c, order_g
+            rw, xx0, yy0, cnt = rect_w, x0o, y0o, counts_c
             gx, gy, co, qt = gx_o, gy_o, conic_o, q_thr_o
         else:
             rw, xx0, yy0 = rect_w[sel], x0o[sel], y0o[sel]
-            cnt, og = counts_c[sel], order_g[sel]
+            cnt = counts_c[sel]
             gx, gy, co, qt = gx_o[sel], gy_o[sel], conic_o[sel], q_thr_o[sel]
             # rank of a large slot = the owning gaussian's depth rank
             rank = sel[:, None] * jnp.int32(1)
@@ -140,28 +142,26 @@ def bin_gaussians(
         ok = ok & (qmin <= qt[:, None])
 
         tile = jnp.where(ok, (ty * n_tiles_x + tx), n_tiles)
-        gid = jnp.where(ok, og[:, None], n)
         if sel is None:
             rank = jnp.broadcast_to(
                 jnp.arange(tile.shape[0], dtype=jnp.int32)[:, None],
                 tile.shape)
         else:
             rank = jnp.broadcast_to(rank, tile.shape)
-        return tile.reshape(-1), gid.reshape(-1), rank.reshape(-1)
+        return tile.reshape(-1), rank.reshape(-1)
 
-    tiles1, gid1, rank1 = emit(0, d_small)
+    tiles1, rank1 = emit(0, d_small)
     if D > d_small and k_large > 0:
         # counts_c is in depth order, so sel values ARE depth ranks
         _, sel = jax.lax.top_k(counts_c, k_large)
-        tiles2, gid2, rank2 = emit(d_small, D, sel.astype(jnp.int32))
+        tiles2, rank2 = emit(d_small, D, sel.astype(jnp.int32))
         tile_f = jnp.concatenate([tiles1, tiles2])
-        gid_f = jnp.concatenate([gid1, gid2])
         rank_f = jnp.concatenate([rank1, rank2])
         extra = jnp.maximum(counts_c - d_small, 0)
         n_large_dropped = (jnp.sum(extra) - jnp.sum(extra[sel])
                            ).astype(jnp.int32)
     else:
-        tile_f, gid_f, rank_f = tiles1, gid1, rank1
+        tile_f, rank_f = tiles1, rank1
         n_large_dropped = jnp.sum(
             jnp.maximum(counts_c - d_small, 0)).astype(jnp.int32)
     # exact-culled slots carry the sentinel tile: count what actually
@@ -173,26 +173,29 @@ def bin_gaussians(
     # 3. one sort by [tile | depth rank] packed into a unique uint32 key:
     # within a tile each gaussian contributes one slot, so (tile, rank) is
     # unique and the cheaper UNSTABLE sort reproduces the CUDA radix order
-    # exactly. rank needs ceil(log2 N) bits, tile the rest of 32.
+    # exactly. rank needs ceil(log2 N) bits, tile the rest of 32. The
+    # gaussian id is NOT carried as a payload: rank IS the depth rank, so
+    # id = order_g[rank] — a single-array key sort halves the bytes moved
+    # through every merge pass.
     rank_bits = max((n - 1).bit_length(), 1)
     tile_bits = max(n_tiles.bit_length(), 1)
     assert rank_bits + tile_bits <= 32, \
         f"tile/rank key overflow: {n} gaussians x {n_tiles} tiles"
     key = (tile_f.astype(jnp.uint32) << rank_bits) | rank_f.astype(jnp.uint32)
-    key_s, gid_sorted = jax.lax.sort((key, gid_f), num_keys=1,
-                                     is_stable=False)
-    tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
+    key_s = jax.lax.sort(key, is_stable=False)
 
     # 4. crop/pad to the static pair budget + tile ranges
     total = tile_f.shape[0]
     if total >= max_pairs:
-        tiles_sorted = tiles_sorted[:max_pairs]
-        order = gid_sorted[:max_pairs]
+        key_s = key_s[:max_pairs]
     else:
-        pad = max_pairs - total
-        tiles_sorted = jnp.pad(tiles_sorted, (0, pad),
-                               constant_values=n_tiles)
-        order = jnp.pad(gid_sorted, (0, pad), constant_values=n)
+        pad_key = jnp.uint32(n_tiles << rank_bits)   # sentinel tile, rank 0
+        key_s = jnp.pad(key_s, (0, max_pairs - total),
+                        constant_values=pad_key)
+    tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
+    rank = jnp.where(
+        tiles_sorted < n_tiles,
+        (key_s & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32), n)
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tiles_sorted, tile_ids,
@@ -201,7 +204,8 @@ def bin_gaussians(
                             side="right").astype(jnp.int32)
 
     return {
-        "order": order,
+        "rank": rank,                  # (max_pairs,) depth rank (invalid: n)
+        "order_g": order_g,            # (N,) gaussian id by depth rank
         "pair_tile": tiles_sorted,     # (max_pairs,) tile id per sorted pair
         "tile_starts": starts,
         "tile_ends": ends,

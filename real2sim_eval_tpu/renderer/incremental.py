@@ -47,11 +47,65 @@ import numpy as np
 from .binning import bin_gaussians
 from .camera import Camera
 from .preprocess import preprocess_gaussians
-from .raster import TILE_H, TILE_W, RasterConfig, gather_pair_attrs
+from .raster import (ALPHA_MAX, ALPHA_MIN, T_EPS, TILE_H, TILE_W,
+                     RasterConfig, gather_pair_attrs)
 from .tile_kernel import (ATTR, GPR, rasterize_tiles_batch,
                           rasterize_tiles_sparse)
 
 DEPTH_LANE = 9   # depth lives in lane 9 of the packed pair attrs
+
+
+def _static_cutoff(attrs, starts, ends, ntx, nty, max_seg):
+    """Per-tile count of leading static pairs that can EVER contribute.
+
+    Front-to-back transmittance saturates: once every pixel of a tile is
+    dead (T < T_EPS or frozen by the would-done rule), no later pair in
+    the stream contributes. Inserting dynamic pairs into the stream can
+    only lower T pointwise / freeze pixels earlier (alpha-compositing is
+    monotone), so pairs beyond the STATIC-ONLY saturation point are dead
+    in every merged stream too — truncating the merge ranges there is
+    pixel-exact, and on dense close-up scans (a table fills a tile with
+    hundreds of splats) it cuts the per-tile merge stream by ~an order of
+    magnitude. One-time cost at episode-batch build.
+    """
+    n_tiles = ntx * nty
+    p_s = attrs.shape[0]
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    px = ((t_ids % ntx)[:, None, None] * TILE_W
+          + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
+          ).astype(jnp.float32)
+    py = ((t_ids // ntx)[:, None, None] * TILE_H
+          + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
+          ).astype(jnp.float32)
+
+    def body(carry, p):
+        T, done = carry
+        idx = jnp.minimum(starts + p, p_s - 1)
+        row = attrs[idx]                                  # (n_tiles, ATTR)
+        in_r = ((starts + p) < ends)[:, None, None]
+        live = jnp.max(T * (1.0 - done), axis=(1, 2)) >= T_EPS
+
+        def a(i):
+            return row[:, i][:, None, None]
+
+        dx = a(0) - px
+        dy = a(1) - py
+        power = -0.5 * (a(2) * dx * dx + a(4) * dy * dy) - a(3) * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, a(5) * jnp.exp(power))
+        alpha = jnp.where((power <= 0.0) & in_r, alpha, 0.0)
+        alpha_ok = alpha >= ALPHA_MIN
+        test_T = T * (1.0 - alpha)
+        would_done = alpha_ok & (test_T < T_EPS)
+        contrib = alpha_ok & (~would_done) & (done < 0.5)
+        T = jnp.where(contrib, test_T, T)
+        done = jnp.maximum(done, jnp.where(would_done, 1.0, 0.0))
+        used = live & ((starts + p) < ends)
+        return (T, done), used
+
+    shape = (n_tiles, TILE_H, TILE_W)
+    init = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    _, used = jax.lax.scan(body, init, jnp.arange(max_seg, dtype=jnp.int32))
+    return jnp.sum(used.astype(jnp.int32), axis=0)        # (n_tiles,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,7 +132,9 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
     n = scene["means3D"].shape[0]
     ntx = -(-cam.width // TILE_W)
     nty = -(-cam.height // TILE_H)
-    max_pairs = int(config.max_pairs_factor * n)
+    # one-time build: buffer size costs nothing per step here, so keep a
+    # generous floor regardless of the (runtime-tuned) config factor
+    max_pairs = int(max(config.max_pairs_factor, 6.0) * n)
     max_pairs = -(-max_pairs // config.chunk) * config.chunk
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
 
@@ -89,10 +145,10 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
                                shs, sh_degree)
     bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs,
                          config.max_tiles_per_gaussian,
-                         small_tiles=config.small_tiles,
+                         small_tiles=max(config.small_tiles, 8),
                          max_large=config.max_large)
-    attrs = gather_pair_attrs(pre, bins["order"], n)          # (P_s, ATTR)
-    depth = jnp.where(bins["order"] < n, attrs[:, DEPTH_LANE], jnp.inf)
+    attrs = gather_pair_attrs(pre, bins, n)                   # (P_s, ATTR)
+    depth = jnp.where(bins["rank"] < n, attrs[:, DEPTH_LANE], jnp.inf)
     packed = attrs.reshape(-1, GPR * ATTR)
     rgb, dep = rasterize_tiles_batch(
         packed, bins["tile_starts"][None], bins["tile_ends"][None],
@@ -100,9 +156,15 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
     pad = ((0, 0), (0, TILE_H), (0, 0))
     max_seg = int(jax.device_get(
         jnp.max(bins["tile_ends"] - bins["tile_starts"])))
+    # saturation truncation: merge streams only ever need the pairs that
+    # can still contribute once the tile's transmittance budget is spent
+    k_sat = _static_cutoff(attrs, bins["tile_starts"], bins["tile_ends"],
+                           ntx, nty, max_seg)
+    ends_trunc = bins["tile_starts"] + k_sat
+    max_seg = int(jax.device_get(jnp.max(k_sat)))
     return StaticRaster(
         data_pairs=attrs, pair_depth=depth,
-        starts=bins["tile_starts"], ends=bins["tile_ends"],
+        starts=bins["tile_starts"], ends=ends_trunc,
         rgb_cache=jnp.pad(rgb[0], ((0, 0),) + pad[1:]),
         depth_cache=jnp.pad(dep[0], pad[1:]),
         n_tiles_x=ntx, n_tiles_y=nty, max_seg=max_seg,
@@ -126,10 +188,9 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
                          config.max_tiles_per_gaussian,
                          small_tiles=config.small_tiles,
                          max_large=config.max_large)
-    order_d = bins["order"]
     tile_d = bins["pair_tile"]                               # (P_d,)
     p_d = tile_d.shape[0]
-    d_attr = gather_pair_attrs(pre, order_d, n_dyn)          # (P_d, ATTR)
+    d_attr = gather_pair_attrs(pre, bins, n_dyn)             # (P_d, ATTR)
     depth_d = d_attr[:, DEPTH_LANE]
     valid_d = tile_d < n_tiles
 

@@ -48,11 +48,19 @@ TILE_W = 128
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
     backend: str = "auto"              # auto | pallas | reference
-    max_pairs_factor: float = 6.0      # pair buffer = factor * N
+    # pair buffer = factor * N. Runtime paths use 3.0: measured bench-scene
+    # streams peak at 2.7x N (static fixed cam) / 1.9x N (wrist); binning
+    # reports drops (n_large_dropped) and the on-chip pixel checks diff
+    # against the dense backend, so an undersized buffer is loud, and the
+    # buffer size directly scales the per-step sort + gather cost.
+    max_pairs_factor: float = 3.0
     max_tiles_per_gaussian: int = 16   # per-gaussian tile-rect clamp (D)
     chunk: int = 256                   # gaussians per DMA chunk in the kernel
     interpret: bool = False            # run the Pallas kernel interpreted
-    small_tiles: int = 8               # dense tile slots per gaussian
+    # dense tile slots per gaussian: bench scenes have <=4096 gaussians
+    # with rects over 4 tiles (the top-k continuation block covers those),
+    # and the emit-block size scales the sort input
+    small_tiles: int = 4
     max_large: int = 4096              # big-rect gaussians granted full rects
     kernel: str = "wide"               # compositor: wide (8,128) | octet
     octet_groups: int = 4              # fine tiles per supertile row (octet)
@@ -89,31 +97,35 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
     return _composite_pallas(cam, pre, bg, config)
 
 
-def gather_pair_attrs(pre: dict, order: jax.Array, n: int) -> jax.Array:
+def gather_pair_attrs(pre: dict, bins: dict, n: int) -> jax.Array:
     """Pair-level attribute table (P, ATTR): pack per-GAUSSIAN attrs into
-    one 16-lane row FIRST, then do a SINGLE row gather by pair order.
+    one 16-lane row FIRST, permute the N rows into depth order (cheap),
+    then do a SINGLE row gather by the sorted pairs' depth RANKS.
 
     TPU gathers cost per ROW (~tens of ns each, serialized): gathering the
     five attribute arrays separately was 5x the rows and measured 300+ ms
     per step at 24 render instances; one pre-packed gather is ~5x cheaper
-    and lands directly in the kernel's 16-lane-per-gaussian layout."""
+    and lands directly in the kernel's 16-lane-per-gaussian layout.
+    Indexing by rank (bins['rank'], see binning.py) rather than gaussian id
+    keeps the sort payload-free."""
     from .tile_kernel import ATTR
 
     attrs = jnp.concatenate([
         pre["xy"], pre["conic"], pre["opacity"][:, None], pre["rgb"],
         pre["depth"][:, None],
     ], axis=-1).astype(jnp.float32)                       # (N, 10)
-    attrs = jnp.pad(attrs, ((0, 1), (0, ATTR - attrs.shape[1])))
-    # padding row n is all-zero: invalid pairs (order == n) kill themselves
+    attrs = jnp.pad(attrs[bins["order_g"]],               # depth order
+                    ((0, 1), (0, ATTR - attrs.shape[1])))
+    # padding row n is all-zero: invalid pairs (rank == n) kill themselves
     # via zero opacity
-    return attrs[jnp.minimum(order, n)]                   # ONE (P, 16) gather
+    return attrs[jnp.minimum(bins["rank"], n)]            # ONE (P, 16) gather
 
 
-def gather_pair_table(pre: dict, order: jax.Array, n: int) -> jax.Array:
+def gather_pair_table(pre: dict, bins: dict, n: int) -> jax.Array:
     """Packed (P/8, 128) kernel pair table (see gather_pair_attrs)."""
     from .tile_kernel import ATTR, GPR
 
-    gathered = gather_pair_attrs(pre, order, n)
+    gathered = gather_pair_attrs(pre, bins, n)
     p = gathered.shape[0]
     assert p % GPR == 0
     return gathered.reshape(-1, GPR * ATTR)
@@ -178,7 +190,7 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
                                  max_pairs, max_tiles,
                                  small_tiles=config.small_tiles,
                                  max_large=config.max_large)
-            data = gather_pair_table(pre, bins["order"], n)
+            data = gather_pair_table(pre, bins, n)
             return data, bins["tile_starts"], bins["tile_ends"]
         return per_env
 
@@ -299,7 +311,7 @@ def _composite_pallas(cam: Camera, pre: dict, bg: tuple,
 
     # pre-gather sorted pair data:
     # [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth]
-    data = gather_pair_table(pre, bins["order"], n)
+    data = gather_pair_table(pre, bins, n)
 
     rgb_pad, depth_pad = rasterize_tiles(
         data, bins["tile_starts"], bins["tile_ends"],

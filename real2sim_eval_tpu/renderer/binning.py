@@ -1,22 +1,29 @@
-"""Tile binning: depth-sort + dense slot emission + one stable tile sort.
+"""Tile binning: slot emission + payload-carrying tile sort.
 
 The jnp/XLA counterpart of the CUDA rasterizer's binning stage
 (reference: rasterizer_impl.cu:70-138,166-193,279-311): per-Gaussian tile
 counts -> duplicated [tile|depth] keys (duplicateWithKeys) -> radix sort
 (cub) -> per-tile ranges (identifyTileRanges -> searchsorted).
 
-TPU redesign (v2): the CUDA duplicate step is a scatter, and TPU scatters
-serialize per row (~7 ns each) — at batch x camera instance counts the
-round-1 two-level scatter became the frame bottleneck AND silently starved
-large-rect gaussians through its `max_large` budget (the round-2 golden
-pixel check caught exactly that). Sorts, in contrast, vectorize. So:
+TPU redesign (v3): scatters serialize per row, and batched row GATHERS
+measure ~35 ns/row — at pair-buffer sizes either one dominates the frame
+(the v2 rank-gather was 190 ms/step at 64 wrist instances). Sorts, in
+contrast, vectorize (~2 ns/key + ~2 ns per payload lane), so everything
+rides one mechanism:
 
-  1. sort gaussians by view depth once (argsort, N keys);
-  2. emit each gaussian's tile ids DENSELY into a (N, D) slot block in
-     depth order (pure elementwise math, no scatter);
-  3. ONE stable sort of the N*D flattened tile ids, carrying gaussian ids:
-     stability preserves depth order within each tile — exactly the CUDA
-     [tile|depth] radix order (forward.cu front-to-back contract);
+  1. argsort gaussians by view depth; a second argsort inverts the
+     permutation into each gaussian's depth RANK (the in-tile ordering
+     key). All other per-gaussian quantities stay in ORIGINAL order — no
+     permutation gathers at all;
+  2. emit each gaussian's tile ids DENSELY into (N, d_small) slot blocks
+     (pure elementwise math, no scatter), with per-slot pixel-exact conic
+     culling (below); the k_large biggest rects get a continuation block;
+  3. ONE sort of the flattened [tile | depth-rank] u32 keys CARRYING the
+     10 compositor attr lanes as payloads — as TWO 5-payload sorts
+     (payload cost grows superlinearly with count; the keys are unique,
+     so both unstable sorts produce the identical permutation). The
+     sorted payloads ARE the kernel pair table: no post-sort gather
+     exists anywhere;
   4. per-tile ranges via searchsorted.
 
 Static-shape discipline: the result is cropped to ``max_pairs``; a gaussian
@@ -32,6 +39,9 @@ import jax.numpy as jnp
 
 from .preprocess import tile_rect
 
+ATTR = 16        # lanes per pair row (matches tile_kernel.ATTR)
+N_PAY = 10       # meaningful attr lanes: x, y, conic(3), opacity, rgb, depth
+
 
 def bin_gaussians(
     pre: dict,
@@ -41,19 +51,21 @@ def bin_gaussians(
     tile_h: int,
     max_pairs: int,
     max_tiles_per_gaussian: int = 16,
-    small_tiles: int = 8,      # dense slots per gaussian
+    small_tiles: int = 8,      # dense tile slots per gaussian
     max_large: int = 4096,     # gaussians granted slots beyond small_tiles
 ):
-    """Build depth-sorted per-tile gaussian lists.
+    """Build depth-sorted per-tile gaussian pair tables.
 
     Args:
       pre: output of preprocess_gaussians.
       max_pairs: static capacity of the (gaussian, tile) pair buffer.
       max_tiles_per_gaussian: per-gaussian tile-rect clamp (D).
     Returns dict with:
-      rank: (max_pairs,) i32 depth rank per sorted pair (invalid -> N);
-        the gaussian index is order_g[rank]
-      order_g: (N,) i32 gaussian ids sorted by view depth
+      pair_attrs: (max_pairs, 16) f32 — the compositor pair table in
+        sorted order (lanes: x, y, conic a/b/c, opacity, r, g, b, depth,
+        0...); rows outside every tile range are dead
+      pair_tile: (max_pairs,) i32 tile id per sorted pair (invalid:
+        n_tiles)
       tile_starts / tile_ends: (n_tiles,) i32 pair ranges per tile
       n_pairs: () i32 pairs that made it into the buffer
       n_pairs_unclamped: () i32 pairs before the capacity crop
@@ -66,48 +78,60 @@ def bin_gaussians(
     d_small = min(max(small_tiles, 1), D)
     k_large = min(max_large, n)
 
-    # 1. depth order (invalid sink to the end)
+    # 1. depth rank per gaussian (invalid sink to the end; argsort is
+    # stable, so equal depths tie-break by gaussian id — the CUDA radix
+    # order of [tile|depth] keys)
     depth_key = jnp.where(valid, pre["depth"].astype(jnp.float32), jnp.inf)
     order_g = jnp.argsort(depth_key).astype(jnp.int32)          # (N,)
+    inv_rank = jnp.argsort(order_g).astype(jnp.int32)           # (N,) rank
 
     x0, y0, x1, y1 = tile_rect(xy, radius, n_tiles_x, n_tiles_y,
                                tile_w, tile_h)
-    rect_w = (x1 - x0)[order_g]
-    x0o = x0[order_g]
-    y0o = y0[order_g]
-    counts = jnp.where(valid[order_g], rect_w * (y1 - y0)[order_g], 0)
+    rect_w_all = x1 - x0
+    counts = jnp.where(valid, rect_w_all * (y1 - y0), 0)
     counts_c = jnp.minimum(counts, D)
     n_pairs_unclamped = jnp.sum(counts).astype(jnp.int32)
-    n_emitted = jnp.sum(counts_c).astype(jnp.int32)
 
-    # exact-cull inputs (depth order): a (gaussian, tile) slot whose MINIMUM
+    # q_thr: exact-cull threshold — a (gaussian, tile) slot whose MINIMUM
     # conic quadratic over the tile's pixel box keeps alpha strictly below
     # the 1/255 compositor floor contributes EXACTLY ZERO in every backend
     # (alpha_ok fails per pixel), so dropping it is pixel-exact — unlike
     # the CUDA rasterizer's pure 3-sigma circle rect (auxiliary.h getRect),
     # which duplicates such pairs and burns kernel time on them. The 1e-3
     # threshold slack keeps borderline pairs (the kernel decides those).
-    gx_o = xy[order_g, 0]
-    gy_o = xy[order_g, 1]
-    conic_o = pre["conic"][order_g]
-    q_thr_o = 2.0 * jnp.log(255.0 * jnp.maximum(
-        pre["opacity"][order_g], 1e-12)) + 1e-3
+    q_thr = 2.0 * jnp.log(255.0 * jnp.maximum(pre["opacity"], 1e-12)) + 1e-3
 
-    # 2. slot emission in depth order (no scatter): a dense (N, d_small)
+    # the 10 kernel attr lanes, original order (tile_kernel.py layout)
+    attrs = jnp.concatenate([
+        xy, pre["conic"], pre["opacity"].reshape(-1, 1), pre["rgb"],
+        pre["depth"].reshape(-1, 1),
+    ], axis=-1).astype(jnp.float32)                             # (N, 10)
+    # binning-only per-gaussian quantities (ints < 2^24: exact in f32)
+    aux = jnp.stack([
+        x0.astype(jnp.float32), y0.astype(jnp.float32),
+        rect_w_all.astype(jnp.float32), counts_c.astype(jnp.float32),
+        q_thr, inv_rank.astype(jnp.float32),
+    ], axis=-1)                                                 # (N, 6)
+
+    # 2. slot emission (no scatter, no permutation): a dense (N, d_small)
     # block covers typical rects; the k_large gaussians with the biggest
     # rects get a continuation block for slots [d_small, D). Both report
     # what they clip.
     def emit(d_lo, d_hi, sel=None):
         d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
         if sel is None:
-            rw, xx0, yy0, cnt = rect_w, x0o, y0o, counts_c
-            gx, gy, co, qt = gx_o, gy_o, conic_o, q_thr_o
+            at, au = attrs, aux
         else:
-            rw, xx0, yy0 = rect_w[sel], x0o[sel], y0o[sel]
-            cnt = counts_c[sel]
-            gx, gy, co, qt = gx_o[sel], gy_o[sel], conic_o[sel], q_thr_o[sel]
-            # rank of a large slot = the owning gaussian's depth rank
-            rank = sel[:, None] * jnp.int32(1)
+            at, au = attrs[sel], aux[sel]       # two (k_large, ...) gathers
+        xx0 = au[:, 0].astype(jnp.int32)
+        yy0 = au[:, 1].astype(jnp.int32)
+        rw = au[:, 2].astype(jnp.int32)
+        cnt = au[:, 3].astype(jnp.int32)
+        qt = au[:, 4]
+        rank = au[:, 5].astype(jnp.int32)[:, None]
+        gx = at[:, 0]
+        gy = at[:, 1]
+        co = at[:, 2:5]
         rwm = jnp.maximum(rw, 1)[:, None]
         tx = xx0[:, None] + d % rwm
         ty = yy0[:, None] + d // rwm
@@ -142,26 +166,24 @@ def bin_gaussians(
         ok = ok & (qmin <= qt[:, None])
 
         tile = jnp.where(ok, (ty * n_tiles_x + tx), n_tiles)
-        if sel is None:
-            rank = jnp.broadcast_to(
-                jnp.arange(tile.shape[0], dtype=jnp.int32)[:, None],
-                tile.shape)
-        else:
-            rank = jnp.broadcast_to(rank, tile.shape)
-        return tile.reshape(-1), rank.reshape(-1)
+        shape = tile.shape
+        rank_b = jnp.broadcast_to(rank, shape)
+        pay = [jnp.broadcast_to(at[:, L:L + 1], shape).reshape(-1)
+               for L in range(N_PAY)]
+        return tile.reshape(-1), rank_b.reshape(-1), pay
 
-    tiles1, rank1 = emit(0, d_small)
+    tiles1, rank1, pay1 = emit(0, d_small)
     if D > d_small and k_large > 0:
-        # counts_c is in depth order, so sel values ARE depth ranks
         _, sel = jax.lax.top_k(counts_c, k_large)
-        tiles2, rank2 = emit(d_small, D, sel.astype(jnp.int32))
+        tiles2, rank2, pay2 = emit(d_small, D, sel.astype(jnp.int32))
         tile_f = jnp.concatenate([tiles1, tiles2])
         rank_f = jnp.concatenate([rank1, rank2])
+        pay_f = [jnp.concatenate([a, b]) for a, b in zip(pay1, pay2)]
         extra = jnp.maximum(counts_c - d_small, 0)
         n_large_dropped = (jnp.sum(extra) - jnp.sum(extra[sel])
                            ).astype(jnp.int32)
     else:
-        tile_f, rank_f = tiles1, rank1
+        tile_f, rank_f, pay_f = tiles1, rank1, pay1
         n_large_dropped = jnp.sum(
             jnp.maximum(counts_c - d_small, 0)).astype(jnp.int32)
     # exact-culled slots carry the sentinel tile: count what actually
@@ -170,32 +192,36 @@ def bin_gaussians(
     n_rect_dropped = (jnp.sum(counts - counts_c).astype(jnp.int32)
                       + n_large_dropped)
 
-    # 3. one sort by [tile | depth rank] packed into a unique uint32 key:
-    # within a tile each gaussian contributes one slot, so (tile, rank) is
-    # unique and the cheaper UNSTABLE sort reproduces the CUDA radix order
-    # exactly. rank needs ceil(log2 N) bits, tile the rest of 32. The
-    # gaussian id is NOT carried as a payload: rank IS the depth rank, so
-    # id = order_g[rank] — a single-array key sort halves the bytes moved
-    # through every merge pass.
+    # 3. sort by [tile | depth rank] packed into a unique uint32 key,
+    # payloads carrying the attr lanes. Two 5-payload sorts: payload cost
+    # is superlinear in count, and unique keys make the two (unstable)
+    # permutations identical.
     rank_bits = max((n - 1).bit_length(), 1)
     tile_bits = max(n_tiles.bit_length(), 1)
     assert rank_bits + tile_bits <= 32, \
         f"tile/rank key overflow: {n} gaussians x {n_tiles} tiles"
     key = (tile_f.astype(jnp.uint32) << rank_bits) | rank_f.astype(jnp.uint32)
-    key_s = jax.lax.sort(key, is_stable=False)
+    out_a = jax.lax.sort((key,) + tuple(pay_f[:5]), num_keys=1,
+                         is_stable=False)
+    out_b = jax.lax.sort((key,) + tuple(pay_f[5:]), num_keys=1,
+                         is_stable=False)
+    key_s = out_a[0]
+    lanes = list(out_a[1:]) + list(out_b[1:])
 
-    # 4. crop/pad to the static pair budget + tile ranges
+    # 4. crop/pad to the static pair budget + tile ranges. Pad rows are
+    # all-zero (dead opacity).
     total = tile_f.shape[0]
     if total >= max_pairs:
         key_s = key_s[:max_pairs]
+        lanes = [v[:max_pairs] for v in lanes]
     else:
-        pad_key = jnp.uint32(n_tiles << rank_bits)   # sentinel tile, rank 0
-        key_s = jnp.pad(key_s, (0, max_pairs - total),
-                        constant_values=pad_key)
+        pad = max_pairs - total
+        key_s = jnp.pad(key_s, (0, pad),
+                        constant_values=jnp.uint32(n_tiles << rank_bits))
+        lanes = [jnp.pad(v, (0, pad)) for v in lanes]
     tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
-    rank = jnp.where(
-        tiles_sorted < n_tiles,
-        (key_s & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32), n)
+    pair_attrs = jnp.pad(jnp.stack(lanes, axis=-1),
+                         ((0, 0), (0, ATTR - N_PAY)))
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tiles_sorted, tile_ids,
@@ -204,8 +230,7 @@ def bin_gaussians(
                             side="right").astype(jnp.int32)
 
     return {
-        "rank": rank,                  # (max_pairs,) depth rank (invalid: n)
-        "order_g": order_g,            # (N,) gaussian id by depth rank
+        "pair_attrs": pair_attrs,      # (max_pairs, 16) kernel pair table
         "pair_tile": tiles_sorted,     # (max_pairs,) tile id per sorted pair
         "tile_starts": starts,
         "tile_ends": ends,

@@ -148,7 +148,8 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
                          small_tiles=max(config.small_tiles, 8),
                          max_large=config.max_large)
     attrs = gather_pair_attrs(pre, bins, n)                   # (P_s, ATTR)
-    depth = jnp.where(bins["rank"] < n, attrs[:, DEPTH_LANE], jnp.inf)
+    depth = jnp.where(bins["pair_tile"] < ntx * nty,
+                      attrs[:, DEPTH_LANE], jnp.inf)
     packed = attrs.reshape(-1, GPR * ATTR)
     rgb, dep = rasterize_tiles_batch(
         packed, bins["tile_starts"][None], bins["tile_ends"][None],
@@ -237,8 +238,6 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     ok_j = in_budget & (out_j < p_mix)
     tgt = jnp.where(ok_j, out_j, p_mix)                      # drop slot
     mark = jnp.zeros((p_mix,), jnp.int32).at[tgt].set(1, mode="drop")
-    src_dyn = jnp.zeros((p_mix,), jnp.int32).at[tgt].set(
-        p_s + j_idx, mode="drop")
 
     # --- static fill between the inserted dynamic pairs -------------------
     # the static index at position p of slot d is
@@ -260,14 +259,17 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
         jnp.where(real, a_slot, -big), mode="drop")
     a_at = jax.lax.cummax(seeded)
     s_idx = a_at + pos - c_ex
-    in_use = (pos < total) & (s_idx >= 0)
-    mix_src = jnp.where(mark == 1, src_dyn,
-                        jnp.where(in_use, s_idx, p_s + p_d))
+    in_use = (pos < total) & (s_idx >= 0) & (mark == 0)
 
-    all_pairs = jnp.concatenate(
-        [static.data_pairs, d_attr,
-         jnp.zeros((1, ATTR), jnp.float32)], axis=0)
-    mix = all_pairs[jnp.clip(mix_src, 0, p_s + p_d)]         # (p_mix, ATTR)
+    # materialize the mix: static rows come from the SHARED frozen table
+    # (shared-source gathers run ~3 ns/row vs ~35 ns/row for a
+    # batched-source table under vmap), then the dynamic attr rows are
+    # row-scattered onto their slots (~7 ns/row over just P_d rows) —
+    # together an order of magnitude cheaper than gathering every mix row
+    # from a per-env concatenated [static; dynamic] table.
+    mix = jnp.where(in_use[:, None],
+                    static.data_pairs[jnp.clip(s_idx, 0, p_s - 1)], 0.0)
+    mix = mix.at[tgt].set(d_attr, mode="drop")               # (p_mix, ATTR)
 
     starts_m = jnp.minimum(off, p_mix).astype(jnp.int32)
     ends_m = jnp.minimum(off + length, p_mix).astype(jnp.int32)

@@ -69,7 +69,10 @@ class RasterConfig:
     # (e.g. interpret-mode tests), "off" always uses the full pipeline
     incremental: str = "auto"
     dirty_budget: int = 96             # re-composited tiles per instance
-    mix_pairs: int = 32768             # merged pair budget per instance
+    # merged pair budget per instance: bench peaks at ~25 dirty tiles x
+    # ~650 merged pairs; every op in the merge construction scales with
+    # this, and overflow is loud (telemetry lane 2 + stale-tile check)
+    mix_pairs: int = 16384
 
 
 def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
@@ -98,27 +101,15 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
 
 
 def gather_pair_attrs(pre: dict, bins: dict, n: int) -> jax.Array:
-    """Pair-level attribute table (P, ATTR): pack per-GAUSSIAN attrs into
-    one 16-lane row FIRST, permute the N rows into depth order (cheap),
-    then do a SINGLE row gather by the sorted pairs' depth RANKS.
+    """Pair-level attribute table (P, ATTR).
 
-    TPU gathers cost per ROW (~tens of ns each, serialized): gathering the
-    five attribute arrays separately was 5x the rows and measured 300+ ms
-    per step at 24 render instances; one pre-packed gather is ~5x cheaper
-    and lands directly in the kernel's 16-lane-per-gaussian layout.
-    Indexing by rank (bins['rank'], see binning.py) rather than gaussian id
-    keeps the sort payload-free."""
-    from .tile_kernel import ATTR
-
-    attrs = jnp.concatenate([
-        pre["xy"], pre["conic"], pre["opacity"][:, None], pre["rgb"],
-        pre["depth"][:, None],
-    ], axis=-1).astype(jnp.float32)                       # (N, 10)
-    attrs = jnp.pad(attrs[bins["order_g"]],               # depth order
-                    ((0, 1), (0, ATTR - attrs.shape[1])))
-    # padding row n is all-zero: invalid pairs (rank == n) kill themselves
-    # via zero opacity
-    return attrs[jnp.minimum(bins["rank"], n)]            # ONE (P, 16) gather
+    Since binning v3 the sorted attr lanes ride the tile sort as payloads
+    (binning.py step 3), so the table already exists — earlier designs
+    gathered it per pair (~35 ns/row batched on TPU, 190 ms/step at 64
+    wrist instances) and this call is kept as the single consumer-facing
+    accessor."""
+    del pre, n
+    return bins["pair_attrs"]
 
 
 def gather_pair_table(pre: dict, bins: dict, n: int) -> jax.Array:

@@ -358,6 +358,11 @@ class PhysTwinDynamics:
                            else None),
             collision_mask=jnp.arange(n, dtype=jnp.int32),
             rest_x=jnp.asarray(init_pts_model),
+            cand_invalid=jnp.asarray(
+                (np.linalg.norm(init_pts_model[:, None]
+                                - init_pts_model[None], axis=-1)
+                 < float(phys.collision_dist) * 5.0)
+                | np.eye(n, dtype=bool)),
             collide_elas=jnp.asarray(float(np.asarray(first["collide_elas"]).ravel()[0])),
             collide_fric=jnp.asarray(float(np.asarray(first["collide_fric"]).ravel()[0])),
             collide_eef_elas=jnp.asarray(float(phys.collide_eef_elas)),

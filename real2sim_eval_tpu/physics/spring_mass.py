@@ -114,6 +114,11 @@ class SpringMassParams:
     # the fused backend permutes at its boundary. None = identity.
     roll_perm: jax.Array | None = None
     roll_inv_perm: jax.Array | None = None
+    # optional precomputed (N, N) bool: same collision group OR resting
+    # pair — the episode-constant half of the candidate-validity test
+    # (rest_x and collision_mask never change). Computing it per control
+    # step cost as much as the dynamic distance matrix it gates.
+    cand_invalid: jax.Array | None = None
 
 
 @struct.dataclass
@@ -260,17 +265,26 @@ def build_collision_candidates(params: SpringMassParams, opts: PhysicsOptions,
     n_chunks = -(-n // chunk)
     n_padded = n_chunks * chunk
     xp = jnp.pad(x, ((0, n_padded - n), (0, 0)))
-    restp = jnp.pad(params.rest_x, ((0, n_padded - n), (0, 0)))
-    maskp = jnp.pad(params.collision_mask, (0, n_padded - n), constant_values=-1)
+
+    inv_static = params.cand_invalid
+    if inv_static is None:
+        # fallback for hand-built params: computed once per control step
+        # (outside the chunk scan), not once per chunk
+        same = (params.collision_mask[:, None]
+                == params.collision_mask[None, :])
+        d0 = jnp.linalg.norm(
+            params.rest_x[:, None] - params.rest_x[None], axis=-1)
+        inv_static = same | (d0 < opts.collision_dist * 5.0)
+    inv_p = jnp.pad(inv_static, ((0, n_padded - n), (0, 0)),
+                    constant_values=True)
 
     def row_chunk(c, _):
-        rows = c * chunk + jnp.arange(chunk)
-        xr = xp[rows]                      # (chunk, 3)
+        r0 = c * chunk
+        rows = r0 + jnp.arange(chunk)
+        xr = jax.lax.dynamic_slice(xp, (r0, 0), (chunk, 3))
+        inv_r = jax.lax.dynamic_slice(inv_p, (r0, 0), (chunk, n))
         d = jnp.linalg.norm(xr[:, None] - x[None], axis=-1)        # (chunk, N)
-        d0 = jnp.linalg.norm(restp[rows][:, None] - params.rest_x[None], axis=-1)
-        same_group = maskp[rows][:, None] == params.collision_mask[None]
-        resting = d0 < opts.collision_dist * 5.0
-        invalid = same_group | resting | (d >= opts.collision_dist) | (rows[:, None] >= n)
+        invalid = inv_r | (d >= opts.collision_dist) | (rows[:, None] >= n)
         score = jnp.where(invalid, jnp.inf, d)
         neg, idx = jax.lax.top_k(-score, k)
         n_valid = jnp.sum(~invalid, axis=1)

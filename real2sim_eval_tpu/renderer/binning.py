@@ -201,9 +201,13 @@ def bin_gaussians(
     assert rank_bits + tile_bits <= 32, \
         f"tile/rank key overflow: {n} gaussians x {n_tiles} tiles"
     key = (tile_f.astype(jnp.uint32) << rank_bits) | rank_f.astype(jnp.uint32)
+    # the optimization barrier keeps XLA from CSE-merging the two sorts
+    # into one 10-payload sort (traced: the merged sort costs 61 ms vs
+    # 2 x 12 ms split, payload cost being superlinear in count)
+    key_b = jax.lax.optimization_barrier(key)
     out_a = jax.lax.sort((key,) + tuple(pay_f[:5]), num_keys=1,
                          is_stable=False)
-    out_b = jax.lax.sort((key,) + tuple(pay_f[5:]), num_keys=1,
+    out_b = jax.lax.sort((key_b,) + tuple(pay_f[5:]), num_keys=1,
                          is_stable=False)
     key_s = out_a[0]
     lanes = list(out_a[1:]) + list(out_b[1:])

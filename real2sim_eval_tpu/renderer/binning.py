@@ -201,13 +201,13 @@ def bin_gaussians(
     assert rank_bits + tile_bits <= 32, \
         f"tile/rank key overflow: {n} gaussians x {n_tiles} tiles"
     key = (tile_f.astype(jnp.uint32) << rank_bits) | rank_f.astype(jnp.uint32)
-    # the optimization barrier keeps XLA from CSE-merging the two sorts
-    # into one 10-payload sort (traced: the merged sort costs 61 ms vs
-    # 2 x 12 ms split, payload cost being superlinear in count)
-    key_b = jax.lax.optimization_barrier(key)
+    # one merged 10-payload sort: XLA CSEs the two 5-payload sorts into it
+    # anyway, and forcing a split with an optimization barrier measured
+    # WORSE on chip (68 ms vs 61 at wrist scale) despite isolated micro
+    # benchmarks suggesting otherwise
     out_a = jax.lax.sort((key,) + tuple(pay_f[:5]), num_keys=1,
                          is_stable=False)
-    out_b = jax.lax.sort((key_b,) + tuple(pay_f[5:]), num_keys=1,
+    out_b = jax.lax.sort((key,) + tuple(pay_f[5:]), num_keys=1,
                          is_stable=False)
     key_s = out_a[0]
     lanes = list(out_a[1:]) + list(out_b[1:])
@@ -227,11 +227,14 @@ def bin_gaussians(
     pair_attrs = jnp.pad(jnp.stack(lanes, axis=-1),
                          ((0, 0), (0, ATTR - N_PAY)))
 
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tiles_sorted, tile_ids,
+    # one searchsorted over [0..n_tiles] gives both range ends: pairs of
+    # tile t occupy [starts[t], starts[t+1]) in the sorted stream (the
+    # second side="right" search cost as much again)
+    bounds = jnp.searchsorted(tiles_sorted,
+                              jnp.arange(n_tiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tiles_sorted, tile_ids,
-                            side="right").astype(jnp.int32)
+    starts = bounds[:-1]
+    ends = bounds[1:]
 
     return {
         "pair_attrs": pair_attrs,      # (max_pairs, 16) kernel pair table

@@ -201,14 +201,15 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     hi = static.ends[t_cl]
     iters = max(static.max_seg, 1).bit_length()
 
-    def bs_body(_, lohi):
-        lo, hi = lohi
+    # unrolled: iters is small and static, and a lax loop pays per-trip
+    # scheduling for ~1 gather + 2 selects of work
+    for _ in range(iters):
         mid = (lo + hi) // 2
         v = static.pair_depth[jnp.minimum(mid, p_s - 1)]
         go = v < depth_d
-        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
-
-    insert, _ = jax.lax.fori_loop(0, iters, bs_body, (lo, hi))
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    insert = lo
 
     # --- dirty tiles, compacted ascending ---------------------------------
     cnt_d = bins["tile_ends"] - bins["tile_starts"]          # (n_tiles,)
@@ -229,11 +230,21 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     over_tiles = jnp.maximum(n_dirty - t_budget, 0)
 
     # --- dynamic pairs -> mix slots ---------------------------------------
-    dslot = jnp.clip(jnp.searchsorted(dirty_ids, tile_d).astype(jnp.int32),
-                     0, t_budget - 1)
-    in_budget = (dirty_ids[dslot] == tile_d) & valid_d
+    # slot order == ascending tile order (dirty_ids are sorted tile ids),
+    # so per-TILE offset/membership arrays replace the per-pair
+    # searchsorted into the slot list (traced at 43 ms/step): one packed
+    # (n_tiles,) cumsum + ONE gather per pair. off_neg[t] = mix offset of
+    # tile t's slot, or -1 if t is clean / over budget.
+    d_rank = jnp.cumsum(dirty.astype(jnp.int32)) - dirty.astype(jnp.int32)
+    inb_t = dirty & (d_rank < t_budget)
+    len_t = jnp.where(inb_t,
+                      (static.ends - static.starts) + cnt_d, 0)
+    off_t = jnp.cumsum(len_t) - len_t
+    off_neg = jnp.where(inb_t, off_t, -1)
+    off_pair = off_neg[t_cl]
+    in_budget = (off_pair >= 0) & valid_d
     j_idx = jnp.arange(p_d, dtype=jnp.int32)
-    out_j = (off[dslot] + (insert - static.starts[t_cl])
+    out_j = (off_pair + (insert - static.starts[t_cl])
              + (j_idx - bins["tile_starts"][t_cl]))
     ok_j = in_budget & (out_j < p_mix)
     tgt = jnp.where(ok_j, out_j, p_mix)                      # drop slot

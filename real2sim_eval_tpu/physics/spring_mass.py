@@ -278,7 +278,7 @@ def build_collision_candidates(params: SpringMassParams, opts: PhysicsOptions,
     inv_p = jnp.pad(inv_static, ((0, n_padded - n), (0, 0)),
                     constant_values=True)
 
-    def row_chunk(c, _):
+    def row_chunk(c):
         r0 = c * chunk
         rows = r0 + jnp.arange(chunk)
         xr = jax.lax.dynamic_slice(xp, (r0, 0), (chunk, 3))
@@ -289,12 +289,16 @@ def build_collision_candidates(params: SpringMassParams, opts: PhysicsOptions,
         neg, idx = jax.lax.top_k(-score, k)
         n_valid = jnp.sum(~invalid, axis=1)
         dropped = jnp.sum(jnp.maximum(n_valid - k, 0))
-        return c + 1, (idx.astype(jnp.int32), jnp.isfinite(-neg), dropped)
+        return idx.astype(jnp.int32), jnp.isfinite(-neg), dropped
 
-    _, (idx, valid, dropped) = jax.lax.scan(row_chunk, 0, None,
-                                            length=n_chunks)
-    return (idx.reshape(n_padded, k)[:n], valid.reshape(n_padded, k)[:n],
-            jnp.sum(dropped).astype(jnp.int32))
+    # unrolled over the (few, static) row chunks: a lax.scan serializes
+    # them behind per-trip scheduling; unrolled, XLA fuses the distance/
+    # mask work across chunks
+    outs = [row_chunk(c) for c in range(n_chunks)]
+    idx = jnp.concatenate([o[0] for o in outs])
+    valid = jnp.concatenate([o[1] for o in outs])
+    dropped = sum(o[2] for o in outs)
+    return (idx[:n], valid[:n], jnp.sum(dropped).astype(jnp.int32))
 
 
 def self_collision_impulse(params, opts, x, v, cand_idx, cand_valid):

@@ -107,7 +107,13 @@ class EpisodeWriter:
             return
         if step != 0 and "physics" in state:
             state = {k: v for k, v in state.items() if k != "physics"}
-        state = _to_numpy_tree(state)
+        # the reference's dumps hold torch tensors and its success
+        # calculators call `.cpu().numpy()` on them unconditionally
+        # (calculate_success_rope.py:149-150, calculate_success_T.py:21-22),
+        # so byte-compatible artifacts must pickle torch tensors when torch
+        # is available (tests/test_reference_interop.py executes the
+        # reference scripts over these files)
+        state = _to_state_tree(state)
         with open(self.ep_dir / "state" / f"{step:06d}.pkl", "wb") as f:
             pickle.dump(state, f)
 
@@ -120,11 +126,22 @@ class EpisodeWriter:
                        "%06d.jpg", frame_rate=frame_rate)
 
 
-def _to_numpy_tree(x):
+try:
+    import torch as _torch
+except Exception:  # pragma: no cover - torch is baked into the image
+    _torch = None
+
+
+def _to_state_tree(x):
+    """Array leaves -> cpu torch tensors (reference dump schema); numpy
+    fallback when torch is unavailable."""
     if isinstance(x, dict):
-        return {k: _to_numpy_tree(v) for k, v in x.items()}
+        return {k: _to_state_tree(v) for k, v in x.items()}
     if isinstance(x, (list, tuple)):
-        return type(x)(_to_numpy_tree(v) for v in x)
+        return type(x)(_to_state_tree(v) for v in x)
     if hasattr(x, "shape"):
-        return np.asarray(x)
+        arr = np.asarray(x)
+        if _torch is not None and arr.dtype.kind in "fiub":
+            return _torch.from_numpy(np.ascontiguousarray(arr))
+        return arr
     return x

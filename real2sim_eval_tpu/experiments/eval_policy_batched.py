@@ -47,6 +47,22 @@ def actions_from_policy(cartesian: np.ndarray, use_pusher: bool) -> np.ndarray:
                           axis=1).astype(np.float32)
 
 
+def check_saturation(ev, cnt):
+    """Loudly surface any clipped physics/render budget (VERDICT round-2
+    item 6: telemetry must be read in production, not only in tests)."""
+    import sys
+
+    drops = {k: v for k, v in ev.render_drops().items() if v}
+    phys = {k: int(np.sum(v)) for k, v in ev.telemetry().items()
+            if np.any(v)}
+    if drops or phys:
+        print(f"WARNING step {cnt}: budget saturation — work was clipped! "
+              f"render={drops} physics={phys} "
+              "(raise RasterConfig.max_pairs_factor/dirty_budget/mix_pairs "
+              "or the PhysicsOptions caps)", file=sys.stderr, flush=True)
+    return drops, phys
+
+
 def main(cfg):
     if bool(cfg.gs.get("use_grid_randomization", False)):
         n_episodes = n_grid_episodes(cfg)
@@ -54,6 +70,12 @@ def main(cfg):
         n_episodes = int(cfg.policy.n_episodes)
     batch_size = min(int(cfg.get("batch_size", 16)), n_episodes)
     start = int(cfg.get("episode_start", 0))
+    # mid-episode checkpoint cadence: a killed run resumes losing <= K
+    # steps (finer-grained than the reference's process-level recovery,
+    # eval_policy_parallel.py:274-287). 0 disables.
+    ckpt_every = int(cfg.get("checkpoint_every", 100))
+    resume = bool(cfg.get("resume", False))
+    telemetry_every = int(cfg.get("telemetry_every", 30))
 
     run_name = run_name_for(cfg)
     out_path = Path(cfg.exp_root) / "output_eval_policy" / run_name
@@ -70,6 +92,10 @@ def main(cfg):
     for batch_start in range(start, n_episodes, batch_size):
         episode_ids = list(range(batch_start,
                                  min(batch_start + batch_size, n_episodes)))
+        done_marker = out_path / f"batch_{batch_start:05d}.done"
+        if resume and done_marker.exists():
+            print(f"Batch {episode_ids[0]}..{episode_ids[-1]} already done")
+            continue
         print(f"Batch {episode_ids[0]}..{episode_ids[-1]} "
               f"({len(episode_ids)} episodes)")
         ev = BatchedEvaluator(cfg, episode_ids,
@@ -77,6 +103,12 @@ def main(cfg):
         if mesh is not None and len(episode_ids) % len(jax.devices()) == 0:
             ev.state = shard_batch(ev.state, mesh)
         policy = load_policy(cfg.policy)
+        ckpt_path = out_path / f"batch_{batch_start:05d}.ckpt.pkl"
+        start_cnt = 0
+        if resume and ckpt_path.exists():
+            extra = ev.load_state(ckpt_path)
+            start_cnt = int(extra.get("next_step", 0))
+            print(f"resumed mid-episode from {ckpt_path} at step {start_cnt}")
 
         writers = []
         for lane, ep in enumerate(episode_ids):
@@ -85,16 +117,18 @@ def main(cfg):
             w.write_random_variables(ev.random_variables[lane])
             writers.append(w)
 
-        # stabilization: hold the reset pose for 1 s (eval_policy.py:124-126)
-        g = np.asarray(ev.state.grippers)
-        from ..utils import transforms_np as tnp
-        rot0 = tnp.quat_to_rot(g[:, 6:10])
-        hold = np.concatenate(
-            [g[:, :3], rot0.reshape(len(episode_ids), -1), g[:, 13:14]], axis=1)
-        for _ in range(30):
-            ev.step(jnp.asarray(hold), do_velocity_control=False)
+        if start_cnt == 0:
+            # stabilization: hold the reset pose 1 s (eval_policy.py:124-126)
+            g = np.asarray(ev.state.grippers)
+            from ..utils import transforms_np as tnp
+            rot0 = tnp.quat_to_rot(g[:, 6:10])
+            hold = np.concatenate(
+                [g[:, :3], rot0.reshape(len(episode_ids), -1), g[:, 13:14]],
+                axis=1)
+            for _ in range(30):
+                ev.step(jnp.asarray(hold), do_velocity_control=False)
 
-        for cnt in range(n_steps):
+        for cnt in range(start_cnt, n_steps):
             t0 = time.perf_counter()
             obs = ev.observations()
             images = np.asarray(obs["images"])
@@ -131,6 +165,10 @@ def main(cfg):
 
             actions = actions_from_policy(cartesian, use_pusher)
             ev.step(jnp.asarray(actions))
+            if telemetry_every and cnt % telemetry_every == 0:
+                check_saturation(ev, cnt)
+            if ckpt_every and (cnt + 1) % ckpt_every == 0:
+                ev.save_state(ckpt_path, extra={"next_step": cnt + 1})
             dt = time.perf_counter() - t0
             print(f"step {cnt}: {dt:.3f}s "
                   f"({len(episode_ids) / max(dt, 1e-9):.1f} env-steps/s)")
@@ -144,6 +182,9 @@ def main(cfg):
                            n_steps, start_final="final")
             w.finalize_videos(frame_rate)
         policy.reset()
+        done_marker.touch()
+        if ckpt_path.exists():
+            ckpt_path.unlink()
     return out_path
 
 

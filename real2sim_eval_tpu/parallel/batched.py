@@ -431,14 +431,16 @@ class BatchedEvaluator:
                         w2c_b = jax.vmap(wrist_w2c_jax, in_axes=(None, 0, 0))(
                             eef2c, state.grippers[:, :3], eef_rot)
                         wlist.append((cam, w2c_b))
-                    rgb_w, dep_w = rasterize_batch(wlist, scenes, sh_deg,
-                                                   config=rcfg)
+                    rgb_w, dep_w, wdrop = rasterize_batch(
+                        wlist, scenes, sh_deg, config=rcfg,
+                        return_drops=True)
                     wims = jnp.swapaxes(rgb_w, 0, 1)
                     wdepths = jnp.swapaxes(dep_w, 0, 1)
                 else:
                     wims = jnp.zeros((B, 0, 1, 1))
                     wdepths = jnp.zeros((B, 0, 1, 1))
-                return ims, depths, wims, wdepths, qpos_new, tele
+                    wdrop = jnp.zeros((0, B), jnp.int32)
+                return ims, depths, wims, wdepths, qpos_new, (tele, wdrop)
         elif raster_backend == "pallas" and uniform_res and (fixed_cams
                                                              or wrist_cams):
             # batched pipeline: vmapped compose + binning, ONE compositor
@@ -458,8 +460,9 @@ class BatchedEvaluator:
                     w2c_b = jax.vmap(wrist_w2c_jax, in_axes=(None, 0, 0))(
                         eef2c, state.grippers[:, :3], eef_rot)
                     cam_list.append((cam, w2c_b))
-                rgb, depth = rasterize_batch(cam_list, scenes, sh_deg,
-                                             config=rcfg)
+                rgb, depth, drops = rasterize_batch(cam_list, scenes, sh_deg,
+                                                    config=rcfg,
+                                                    return_drops=True)
                 nf = len(fixed_cams)
                 ims = jnp.swapaxes(rgb[:nf], 0, 1)
                 depths = jnp.swapaxes(depth[:nf], 0, 1)
@@ -472,8 +475,10 @@ class BatchedEvaluator:
                 if not fixed_cams:
                     ims = jnp.zeros((B, 0, 1, 1))
                     depths = jnp.zeros((B, 0, 1, 1))
-                tele = jnp.zeros((len(fixed_cams), B, 3), jnp.int32)
-                return ims, depths, wims, wdepths, qpos_new, tele
+                tele = jnp.zeros((len(fixed_cams), B, 4), jnp.int32)
+                # fixed-cam binning drops ride the incremental lane-3 slot
+                tele = tele.at[:, :, 3].set(drops[:nf])
+                return ims, depths, wims, wdepths, qpos_new, (tele, drops[nf:])
         else:
             @jax.jit
             def render(state: BatchedState):
@@ -500,8 +505,8 @@ class BatchedEvaluator:
                 outs = jax.lax.map(one_env, (state.rel_pose, state.sm.x,
                                              state.grippers, state.qpos7))
                 B = state.sm.x.shape[0]
-                return outs + (jnp.zeros((len(fixed_cams), B, 3),
-                                         jnp.int32),)
+                return outs + ((jnp.zeros((len(fixed_cams), B, 4), jnp.int32),
+                                jnp.zeros((len(wrist_cams), B), jnp.int32)),)
 
         self._render = render
 
@@ -566,13 +571,31 @@ class BatchedEvaluator:
 
     def render(self):
         """Returns (images (B, C_fixed, 3, H, W), depths, wrist images,
-        wrist depths) and updates the cached IK qpos. Dirty-tile telemetry
-        (n_dirty / dropped tiles / dropped pairs per fixed cam x env) lands
-        in ``self.render_telemetry``."""
+        wrist depths) and updates the cached IK qpos. Render telemetry
+        lands in ``self.render_telemetry`` as a (fixed, wrist) tuple:
+        fixed (n_fixed, B, 4) i32 [n_dirty, dropped_tiles, dropped_pairs,
+        binning_dropped], wrist (n_wrist, B) i32 binning drop counts."""
         ims, depths, wims, wdepths, qpos_new, tele = self._render(self.state)
         self.state = self.state.replace(qpos7=qpos_new)
         self.render_telemetry = tele
         return ims, depths, wims, wdepths
+
+    def render_drops(self) -> dict:
+        """Named host-side drop counters of the LAST render. Any nonzero
+        value means a render budget clipped real pairs/tiles that frame
+        (raise RasterConfig.max_pairs_factor / dirty_budget / mix_pairs).
+        No silent caps — same contract as the physics telemetry()."""
+        if self.render_telemetry is None:
+            return {}
+        fixed, wrist = self.render_telemetry
+        fixed = np.asarray(fixed)
+        wrist = np.asarray(wrist)
+        return {
+            "fixed_dropped_tiles": int(fixed[..., 1].sum()),
+            "fixed_dropped_pairs": int(fixed[..., 2].sum()),
+            "fixed_binning_dropped": int(fixed[..., 3].sum()),
+            "wrist_binning_dropped": int(wrist.sum()),
+        }
 
     def observations(self):
         """Batched policy observations (eval_policy.py:165-178 layout)."""
@@ -622,18 +645,25 @@ class BatchedEvaluator:
     # resumability — SURVEY.md S5 lists no mid-episode resume upstream)
     # ------------------------------------------------------------------
 
-    def save_state(self, path):
-        """Snapshot the full batched simulation state to disk."""
+    def save_state(self, path, extra: dict | None = None):
+        """Snapshot the full batched simulation state to disk (atomically:
+        write + rename, so a kill mid-dump never leaves a torn snapshot).
+        ``extra`` rides along for caller bookkeeping (e.g. step counter)."""
+        import os
         import pickle
 
         import jax
 
         host = jax.tree_util.tree_map(lambda a: np.asarray(a), self.state)
-        with open(path, "wb") as f:
-            pickle.dump({"episode_ids": self.episode_ids, "state": host}, f)
+        tmp = str(path) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"episode_ids": self.episode_ids, "state": host,
+                         "extra": extra or {}}, f)
+        os.replace(tmp, path)
 
-    def load_state(self, path):
-        """Restore a snapshot taken by save_state (same episode ids/config)."""
+    def load_state(self, path) -> dict:
+        """Restore a snapshot taken by save_state (same episode ids/config).
+        Returns the snapshot's ``extra`` dict."""
         import pickle
 
         with open(path, "rb") as f:
@@ -643,4 +673,4 @@ class BatchedEvaluator:
         import jax
 
         self.state = jax.tree_util.tree_map(jnp.asarray, blob["state"])
-        return self.state
+        return blob.get("extra", {})

@@ -327,6 +327,7 @@ class PhysTwinDynamics:
 
         # --- params / options -----------------------------------------
         n = len(init_pts_model)
+        coll_mask_np = np.arange(n, dtype=np.int32)
         nbr_idx, nbr_rest, nbr_Y = build_neighbor_tables(
             springs, rest_lengths, np.log(np.maximum(spring_Y, 1e-12)), n)
         from .topology import build_rolled_tables_maybe_reordered
@@ -356,13 +357,17 @@ class PhysTwinDynamics:
                        else None),
             roll_inv_perm=(jnp.asarray(roll_inv) if roll_inv is not None
                            else None),
-            collision_mask=jnp.arange(n, dtype=jnp.int32),
+            collision_mask=jnp.asarray(coll_mask_np),
             rest_x=jnp.asarray(init_pts_model),
+            # same-group exclusion computed from collision_mask equality so
+            # this precompute and the build_collision_candidates fallback
+            # share ONE definition (today mask == arange -> equality == eye,
+            # but real collision groups must not silently diverge)
             cand_invalid=jnp.asarray(
                 (np.linalg.norm(init_pts_model[:, None]
                                 - init_pts_model[None], axis=-1)
                  < float(phys.collision_dist) * 5.0)
-                | np.eye(n, dtype=bool)),
+                | (coll_mask_np[:, None] == coll_mask_np[None])),
             collide_elas=jnp.asarray(float(np.asarray(first["collide_elas"]).ravel()[0])),
             collide_fric=jnp.asarray(float(np.asarray(first["collide_fric"]).ravel()[0])),
             collide_eef_elas=jnp.asarray(float(phys.collide_eef_elas)),

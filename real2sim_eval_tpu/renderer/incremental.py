@@ -177,8 +177,8 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     """Per-env merge of the dynamic pairs into the static stream.
 
     Returns (mix_attrs (p_mix, ATTR), dirty_ids (t_budget,),
-    starts/ends (t_budget,), telemetry (3,) i32 =
-    [n_dirty, dropped_tiles, dropped_pairs])."""
+    starts/ends (t_budget,), telemetry (4,) i32 =
+    [n_dirty, dropped_tiles, dropped_pairs, binning_dropped])."""
     ntx, nty = static.n_tiles_x, static.n_tiles_y
     n_tiles = ntx * nty
     p_s = static.data_pairs.shape[0]
@@ -266,7 +266,12 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     off_cl = jnp.minimum(off, p_mix - 1)
     big = jnp.int32(1 << 30)
     a_slot = static.starts[t_safe] - off + jnp.take(c_ex, off_cl)
-    seeded = jnp.full((p_mix,), -big, jnp.int32).at[off_cl].max(
+    # slots fully past the pair budget route to the drop index p_mix:
+    # clamping them to p_mix-1 could beat the legitimate seed there and
+    # compose a wrong static row at the last in-budget tile's final mix
+    # position (an already-degraded regime, but keep it sane)
+    seed_idx = jnp.where(off < p_mix, off, p_mix)
+    seeded = jnp.full((p_mix,), -big, jnp.int32).at[seed_idx].max(
         jnp.where(real, a_slot, -big), mode="drop")
     a_at = jax.lax.cummax(seeded)
     s_idx = a_at + pos - c_ex
@@ -284,7 +289,8 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
 
     starts_m = jnp.minimum(off, p_mix).astype(jnp.int32)
     ends_m = jnp.minimum(off + length, p_mix).astype(jnp.int32)
-    tele = jnp.stack([n_dirty, over_tiles, over_pairs]).astype(jnp.int32)
+    tele = jnp.stack([n_dirty, over_tiles, over_pairs,
+                      bins["n_large_dropped"]]).astype(jnp.int32)
     return mix, dirty_ids, starts_m, ends_m, tele
 
 
@@ -300,7 +306,8 @@ def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
       dyn_scenes: dict of stacked (B, N_dyn, ...) DYNAMIC gaussians only.
     Returns:
       (rgb (n_cams, B, 3, h, w) clipped, depth (n_cams, B, h, w),
-       telemetry (n_cams, B, 3) i32 [n_dirty, dropped_tiles, dropped_pairs])
+       telemetry (n_cams, B, 4) i32 [n_dirty, dropped_tiles, dropped_pairs,
+       binning_dropped])
     """
     assert cam_static_w2c
     cam0, st0, _ = cam_static_w2c[0]

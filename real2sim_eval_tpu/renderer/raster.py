@@ -123,7 +123,8 @@ def gather_pair_table(pre: dict, bins: dict, n: int) -> jax.Array:
 
 
 def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
-                    config: RasterConfig = RasterConfig()):
+                    config: RasterConfig = RasterConfig(),
+                    return_drops: bool = False):
     """Render B environments x n_cams cameras in ONE compositor launch.
 
     The round-1 bottleneck was per-env serial rasterization
@@ -141,7 +142,12 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
       config: must resolve to the pallas backend (callers keep the dense
         reference path for tiny CPU tests).
     Returns:
-      (rgb (n_cams, B, 3, H, W) clipped, depth (n_cams, B, H, W)).
+      (rgb (n_cams, B, 3, H, W) clipped, depth (n_cams, B, H, W)); with
+      ``return_drops`` also an (n_cams, B) i32 of binning drop counts
+      (rect-clamp + pair-budget overflow per instance) — runtime paths
+      surface these as render telemetry so an undersized
+      ``max_pairs_factor`` is loud in production, not just under
+      ``bench.py --check``.
     """
     assert cam_w2c_list, "need at least one camera"
     cam0 = cam_w2c_list[0][0]
@@ -182,17 +188,19 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
                                  small_tiles=config.small_tiles,
                                  max_large=config.max_large)
             data = gather_pair_table(pre, bins, n)
-            return data, bins["tile_starts"], bins["tile_ends"]
+            return (data, bins["tile_starts"], bins["tile_ends"],
+                    bins["n_large_dropped"])
         return per_env
 
-    datas, starts, ends = [], [], []
+    datas, starts, ends, drops = [], [], [], []
     for cam, w2c_b in cam_w2c_list:
-        d, s, e = jax.vmap(one(cam))(
+        d, s, e, dr = jax.vmap(one(cam))(
             jnp.asarray(w2c_b, jnp.float32), scenes["means3D"],
             scenes["scales"], scenes["rotations"], scenes["opacities"], shs)
         datas.append(d)
         starts.append(s)
         ends.append(e)
+        drops.append(dr)
     data = jnp.concatenate(datas, axis=0)        # (I, n_rows, 128)
     n_rows = data.shape[1]
     data = data.reshape(-1, data.shape[-1])
@@ -217,6 +225,8 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
     rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(
         n_cams, B, 3, h, w)
     depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
+    if return_drops:
+        return rgb, depth, jnp.stack(drops, axis=0).astype(jnp.int32)
     return rgb, depth
 
 

@@ -83,6 +83,9 @@ class ViserViewer:
         self._metadata: dict = {}
         self._target = None
         self._server = None
+        # client wheel distances are ~[0.15, 5]; scan-sized scenes set this
+        # to their bounding radius so dist=1 frames the whole splat cloud
+        self.dist_scale = 1.0
         self._start_server()
 
     # -- reference API --------------------------------------------------
@@ -110,8 +113,8 @@ class ViserViewer:
                 R, t = w2c[:3, :3], w2c[:3, 3]
                 eye = -R.T @ t
                 self._target = eye + R.T @ np.array([0.0, 0.0, 0.7])
-            self._metadata["w2c"] = orbit_w2c(azimuth, elevation, distance,
-                                              self._target)
+            self._metadata["w2c"] = orbit_w2c(
+                azimuth, elevation, distance * self.dist_scale, self._target)
 
     def set_output(self, output: dict) -> None:
         img = np.asarray(output["image"])

@@ -65,6 +65,48 @@ def test_viser_viewer_camera_control():
         v.close()
 
 
+def test_serve_orbit_arbitrary_ply():
+    """`visualize_scan --serve`: browser-orbit any splat scan with no
+    episode running (closes the reference's visualize_gs delta,
+    sim/utils/gs/gs_processor.py:249-289)."""
+    import threading
+
+    from real2sim_eval_tpu.experiments.utils.visualize_scan import serve_orbit
+
+    rng = np.random.default_rng(0)
+    n = 50
+    params = {
+        "means3D": rng.normal(scale=0.2, size=(n, 3)).astype(np.float32),
+        "sh_colors": rng.normal(scale=0.3, size=(n, 3)).astype(np.float32),
+        "unnorm_rotations": rng.normal(size=(n, 4)).astype(np.float32),
+        "log_scales": np.full((n, 3), np.log(0.02), np.float32),
+        "logit_opacities": np.full((n, 1), 2.0, np.float32),
+    }
+    box = {}
+
+    def run():
+        box["viewer"] = serve_orbit(params, port=0, w=64, h=48, duration=6.0)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):                     # wait for the server + 1 frame
+        time.sleep(0.1)
+        v = box.get("viewer")
+        if v is not None:
+            break
+    t.join(timeout=30)
+    v = box["viewer"]
+    try:
+        assert v._frame is not None, "serve loop must render a frame"
+        assert v._frame.shape == (48, 64, 3)
+        # orbiting via /camera changes the pose the next frame renders with
+        w2c0 = np.asarray(v.get_metadata()["w2c"])
+        v.set_orbit(1.0, 0.3, 1.0)
+        assert not np.allclose(np.asarray(v.get_metadata()["w2c"]), w2c0)
+    finally:
+        v.close()
+
+
 def test_scoped_timer_accumulates():
     from real2sim_eval_tpu.utils.profiling import ScopedTimer
 

@@ -85,7 +85,7 @@ def test_incremental_matches_full(scene):
     rgb_i, dep_i, tele = render_incremental(
         [(cam, st, w2c)], dyn, 0, CFG, t_budget=96, p_mix=8192)
 
-    assert tele.shape == (1, 3, 3)
+    assert tele.shape == (1, 3, 4)
     n_dirty = np.asarray(tele[0, :, 0])
     assert (n_dirty > 0).all() and (n_dirty < st.n_tiles_x * st.n_tiles_y).all()
     assert (np.asarray(tele[0, :, 1:]) == 0).all(), "no drops expected"
@@ -179,10 +179,16 @@ def test_batched_incremental_matches_full(tmp_path):
     ims_i, deps_i, wims_i, wdeps_i = ev_inc.render()
     ims_f, deps_f, wims_f, wdeps_f = ev_full.render()
 
-    tele = np.asarray(ev_inc.render_telemetry)
-    assert tele.shape == (1, 2, 3)
+    tele, wdrop = ev_inc.render_telemetry
+    tele = np.asarray(tele)
+    assert tele.shape == (1, 2, 4)
     assert (tele[..., 0] > 0).all()          # robot+object touch tiles
     assert (tele[..., 1:] == 0).all()        # no budget drops
+    assert (np.asarray(wdrop) == 0).all()    # wrist binning drops surfaced
+    drops = ev_inc.render_drops()
+    assert set(drops) == {"fixed_dropped_tiles", "fixed_dropped_pairs",
+                          "fixed_binning_dropped", "wrist_binning_dropped"}
+    assert all(v == 0 for v in drops.values())
 
     # the two paths compose the scene in different gaussian order
     # ([dyn; static] vs [obj, meshes, table]), so pixels agree up to

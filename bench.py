@@ -117,7 +117,15 @@ def golden_frame_check(ev, write: bool, tol: float = 2e-2) -> str:
     if KERNEL != "wide" or GROUPS != 4:
         return "skipped"   # goldens are recorded for the default config
 
+    # render from the BUILD-TIME state: the timed loop advances physics, so
+    # comparing post-loop frames against build-time goldens would diff two
+    # different simulation states, not two renderers
+    init = getattr(ev, "_bench_init_state", None)
+    cur = ev.state
+    if init is not None:
+        ev.state = init
     ims, _, wims, _ = ev.render()
+    ev.state = cur
 
     def down(img):          # (3, H, W) -> (3, H//8, W//8) block means
         c, h, w = img.shape
@@ -241,7 +249,7 @@ def main():
                     help="record the golden frames the default run asserts "
                          "against (run --check first to validate pixels)")
     ap.add_argument("--kernel", default=KERNEL,
-                    choices=("wide", "octet"))
+                    choices=("wide", "octet", "fine"))
     ap.add_argument("--groups", type=int, default=GROUPS)
     args = ap.parse_args()
     KERNEL = args.kernel
@@ -252,6 +260,7 @@ def main():
     import numpy as np
 
     ev = build_evaluator(args.batch)
+    ev._bench_init_state = ev.state      # golden checks render this state
     B = args.batch
     if args.check:
         if not golden_check(ev):

@@ -83,26 +83,52 @@ def parse_trace(trace_dir: str):
         tn = tid_names.get((pid, tid), "")
         return "device" in pn and tn == "XLA Ops"
 
-    by_stage = collections.Counter()
-    by_src = collections.Counter()
-    n = 0
-    total = 0.0
+    # self-time only: a parent span (e.g. a lax.scan's `while`) contains its
+    # children on the same thread timeline and would double-count them
+    lanes = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X":
             continue
         if not is_device(e.get("pid"), e.get("tid")):
             continue
-        dur = float(e.get("dur", 0.0))
-        args = e.get("args", {}) or {}
-        src = (args.get("source") or args.get("tf_op")
-               or args.get("long_name") or "")
-        name = e.get("name", "")
-        key = src if src else name
-        stage = classify(key)
-        by_stage[stage] += dur
-        by_src[(stage, key[:160])] += dur
-        total += dur
-        n += 1
+        lanes[(e.get("pid"), e.get("tid"))].append(e)
+
+    by_stage = collections.Counter()
+    by_src = collections.Counter()
+    n = 0
+    total = 0.0
+    for lane in lanes.values():
+        lane.sort(key=lambda e: (float(e.get("ts", 0.0)),
+                                 -float(e.get("dur", 0.0))))
+        stack = []  # (end_ts, child_dur_accum index into metas)
+        metas = []
+
+        def emit(meta):
+            nonlocal n, total
+            e, child = meta
+            dur = float(e.get("dur", 0.0)) - child
+            args = e.get("args", {}) or {}
+            src = (args.get("source") or args.get("tf_op")
+                   or args.get("long_name") or "")
+            key = src if src else e.get("name", "")
+            stage = classify(key)
+            by_stage[stage] += dur
+            by_src[(stage, key[:160])] += dur
+            total += dur
+            n += 1
+
+        for e in lane:
+            ts = float(e.get("ts", 0.0))
+            dur = float(e.get("dur", 0.0))
+            while stack and stack[-1][0] <= ts + 1e-9:
+                emit(metas[stack.pop()[1]])
+            if stack:
+                parent = metas[stack[-1][1]]
+                metas[stack[-1][1]] = (parent[0], parent[1] + dur)
+            metas.append((e, 0.0))
+            stack.append((ts + dur, len(metas) - 1))
+        while stack:
+            emit(metas[stack.pop()[1]])
     return by_stage, by_src, total, n
 
 

@@ -393,6 +393,16 @@ def _kernel(st: _Static, scal_ref,
                 hi = 3.0 - 1e-4
                 esc = ((ux < 0.0) | (ux > hi) | (uy < 0.0) | (uy > hi)
                        | (uz < 0.0) | (uz > hi))
+                # telemetry gate: an escape only signals over-budget TRAVEL
+                # when the query left the patch by less than a patch width.
+                # Candidates far from THIS collider (selected for another
+                # one) live miles outside their clamped patch every substep
+                # — no-contact either way, and counting them buries the
+                # real signal (3 colliders x 667 substeps x all candidates).
+                over = jnp.maximum(jnp.maximum(
+                    jnp.maximum(-ux, ux - hi), jnp.maximum(-uy, uy - hi)),
+                    jnp.maximum(-uz, uz - hi))
+                esc_near = esc & (over < 3.0)
                 ux = jnp.clip(ux, 0.0, hi)
                 uy = jnp.clip(uy, 0.0, hi)
                 uz = jnp.clip(uz, 0.0, hi)
@@ -417,7 +427,7 @@ def _kernel(st: _Static, scal_ref,
                       + rows[:, 17:18] * gzm)
                 wz = (rows[:, 18:19] * gxm + rows[:, 19:20] * gym
                       + rows[:, 20:21] * gzm)
-                return val, wx, wy, wz, esc
+                return val, wx, wy, wz, esc_near
 
             ds_, ns_ = [], []
             esc_cnt = jnp.zeros((EPP, 1), jnp.float32)

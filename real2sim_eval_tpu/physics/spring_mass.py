@@ -844,7 +844,11 @@ def select_contact_particles(opts: PhysicsOptions, combo: dict, x, v, ctrl,
     pm = min(opts.max_contact_particles, x.shape[0])
     neg_d, cand = jax.lax.top_k(-d0min, pm)
     cand_ok = (-neg_d) < reach
-    n_in_reach = jnp.sum(d0min < reach)
+    # drop telemetry uses the band WITHOUT the 0.05 safety slack: the slack
+    # exists to be conservative about candidate gating, but counting
+    # slack-only particles as "dropped" cries wolf on every scene where a
+    # large collider's bounding sphere grazes the object
+    n_in_reach = jnp.sum(d0min < reach - 0.05)
     n_dropped = jnp.maximum(n_in_reach - pm, 0).astype(jnp.int32)
     return cand, cand_ok, n_dropped
 

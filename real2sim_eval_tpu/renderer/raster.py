@@ -62,8 +62,14 @@ class RasterConfig:
     # and the emit-block size scales the sort input
     small_tiles: int = 4
     max_large: int = 4096              # big-rect gaussians granted full rects
-    kernel: str = "wide"               # compositor: wide (8,128) | octet
+    kernel: str = "wide"               # compositor: wide (8,128) | octet | fine
     octet_groups: int = 4              # fine tiles per supertile row (octet)
+    # fine-kernel budgets: (8,16)-px tiles multiply per-gaussian rect cells
+    # vs the wide kernel's (8,128) tiles, so the dense slot block and the
+    # big-rect grant are separate knobs (drops are loud either way)
+    fine_small_tiles: int = 6
+    fine_max_tiles: int = 32
+    fine_pairs_factor: float = 5.0     # fine pair buffer = factor * N
     # incremental (dirty-tile) rendering of fixed cameras on a static scene
     # (renderer/incremental.py): "auto" enables it on TPU, "on" forces it
     # (e.g. interpret-mode tests), "off" always uses the full pipeline
@@ -93,10 +99,22 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
         # cross-backend tests are exact (gaussian tails beyond the 3-sigma
         # rect are a definitional cutoff of the rasterizer family; upstream
         # CUDA gates at 16x16, forward.cu:230-237 + config.h:15-16)
-        bin_w = (TILE_W // config.octet_groups if config.kernel == "octet"
-                 else TILE_W)
+        if config.kernel == "octet":
+            bin_w = TILE_W // config.octet_groups
+        elif config.kernel == "fine":
+            from .binning_fine import FINE_W
+            bin_w = FINE_W
+        else:
+            bin_w = TILE_W
         return _composite_reference(cam, pre, jnp.asarray(bg, jnp.float32),
                                     bin_w=bin_w)
+    if config.kernel == "fine":
+        scenes = {"means3D": means3d[None], "scales": scales[None],
+                  "rotations": quats[None], "opacities": opacities[None],
+                  "shs": shs[None]}
+        rgb, depth = rasterize_batch([(cam, jnp.asarray(w2c)[None])],
+                                     scenes, sh_degree, bg, config)
+        return rgb[0, 0], depth[0, 0]
     return _composite_pallas(cam, pre, bg, config)
 
 
@@ -157,9 +175,13 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
             "batched render needs uniform camera resolution"
     B = scenes["means3D"].shape[0]
     n = scenes["means3D"].shape[1]
-    octet = config.kernel == "octet"
     n_sup_x = -(-w // TILE_W)
     n_sup_y = -(-h // TILE_H)
+    if config.kernel == "fine":
+        return _rasterize_batch_fine(cam_w2c_list, scenes, sh_degree, bg,
+                                     config, n_sup_x, n_sup_y,
+                                     return_drops=return_drops)
+    octet = config.kernel == "octet"
     if octet:
         groups = int(config.octet_groups)
         assert TILE_W % groups == 0
@@ -224,6 +246,66 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
     n_cams = len(cam_w2c_list)
     rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(
         n_cams, B, 3, h, w)
+    depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
+    if return_drops:
+        return rgb, depth, jnp.stack(drops, axis=0).astype(jnp.int32)
+    return rgb, depth
+
+
+def _rasterize_batch_fine(cam_w2c_list, scenes, sh_degree, bg, config,
+                          n_sup_x, n_sup_y, return_drops=False):
+    """Batched fine-tile pipeline: vmapped preprocess + analytic-bound
+    binning, attr-major packed tables, ONE fine compositor grid over
+    (instance, supertile). See binning_fine.py / fine_kernel.py."""
+    from .binning_fine import bin_gaussians_fine
+    from .fine_kernel import GPR, pack_attr_major, rasterize_fine_batch
+
+    cam0 = cam_w2c_list[0][0]
+    h, w = cam0.height, cam0.width
+    B = scenes["means3D"].shape[0]
+    n = scenes["means3D"].shape[1]
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+    max_pairs = int(config.fine_pairs_factor * n)
+    max_pairs = -(-max_pairs // GPR) * GPR
+    shs = scenes["shs"] if sh_degree > 0 else scenes["shs"][:, :, :1]
+
+    def one(cam):
+        def per_env(w2c, means, scales, quats, opac, sh):
+            pre = preprocess_gaussians(cam, w2c, means, scales, quats, opac,
+                                       sh, sh_degree)
+            bins = bin_gaussians_fine(
+                pre, n_sup_x, n_sup_y, max_pairs,
+                small_tiles=config.fine_small_tiles,
+                max_tiles_per_gaussian=config.fine_max_tiles,
+                max_large=config.max_large)
+            data = pack_attr_major(bins["pair_lanes"])
+            return (data, bins["fine_starts"], bins["fine_ends"],
+                    bins["n_large_dropped"])
+        return per_env
+
+    datas, starts, ends, drops = [], [], [], []
+    for cam, w2c_b in cam_w2c_list:
+        d, s, e, dr = jax.vmap(one(cam))(
+            jnp.asarray(w2c_b, jnp.float32), scenes["means3D"],
+            scenes["scales"], scenes["rotations"], scenes["opacities"], shs)
+        datas.append(d)
+        starts.append(s)
+        ends.append(e)
+        drops.append(dr)
+    data = jnp.concatenate(datas, axis=0)        # (I, n_rows, 128)
+    n_rows = data.shape[1]
+    data = data.reshape(-1, data.shape[-1])
+    starts = jnp.concatenate(starts, axis=0)     # (I, n_fine)
+    ends = jnp.concatenate(ends, axis=0)
+    inst_off = (jnp.arange(starts.shape[0], dtype=jnp.int32)
+                * (n_rows * GPR))[:, None]
+    starts = starts + inst_off
+    ends = ends + inst_off
+
+    rgb, depth = rasterize_fine_batch(data, starts, ends, n_sup_x, n_sup_y,
+                                      bg=bg, interpret=config.interpret)
+    n_cams = len(cam_w2c_list)
+    rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(n_cams, B, 3, h, w)
     depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
     if return_drops:
         return rgb, depth, jnp.stack(drops, axis=0).astype(jnp.int32)

@@ -168,11 +168,12 @@ class TestPallasBackendEquivalence:
                                    atol=1e-3)
 
     @pytest.mark.parametrize("kernel,groups", [("wide", 1), ("octet", 4),
-                                               ("octet", 8)])
+                                               ("octet", 8), ("fine", 8)])
     def test_batched_instances_match_reference(self, kernel, groups):
         """rasterize_batch (one kernel over env x cam x tile) must agree
-        with per-instance dense rendering — for both the wide (8,128)
-        compositor and the multi-stream octet compositor."""
+        with per-instance dense rendering — for the wide (8,128)
+        compositor, the multi-stream octet compositor, and the
+        MXU-assembled fine compositor (fine_kernel.py)."""
         from real2sim_eval_tpu.renderer.raster import rasterize_batch
 
         rng = np.random.default_rng(7)
@@ -198,7 +199,11 @@ class TestPallasBackendEquivalence:
         }
         cfg = RasterConfig(backend="pallas", interpret=True,
                            max_pairs_factor=8.0, max_tiles_per_gaussian=16,
-                           kernel=kernel, octet_groups=groups)
+                           kernel=kernel, octet_groups=groups,
+                           # fine budgets sized so nothing clamps (clamped
+                           # rects are budget drops the dense reference
+                           # doesn't model)
+                           fine_max_tiles=128, fine_pairs_factor=80.0)
         rgb, depth = rasterize_batch(
             [(cam_a, jnp.asarray(w2c_b)), (cam_b, jnp.asarray(w2c_b))],
             scenes, 0, config=cfg)

@@ -401,8 +401,12 @@ def compact_candidate_slots(opts: PhysicsOptions, x: jax.Array,
     slot_d = -neg
     slot_idx_full = jnp.take_along_axis(cand_idx, slot_local, axis=1)
     slot_ok_full = jnp.isfinite(slot_d)
-    negp, sel = jax.lax.top_k(-slot_d[:, 0], m)                   # (M,)
-    sel_ok = jnp.isfinite(-negp)
+    # sort+slice instead of top_k: measured 2.5 vs 4.3 ms at (64,1000)->256
+    # on v5e (same selection, same nearest-first order)
+    dsel, sel = jax.lax.sort((slot_d[:, 0], jnp.arange(n, dtype=jnp.int32)),
+                             num_keys=1, is_stable=True)
+    dsel, sel = dsel[:m], sel[:m]
+    sel_ok = jnp.isfinite(dsel)
     n_active = jnp.sum(jnp.isfinite(slot_d[:, 0]))
     n_dropped = jnp.maximum(n_active - m, 0).astype(jnp.int32)
     return (sel.astype(jnp.int32), slot_idx_full[sel],
@@ -842,8 +846,13 @@ def select_contact_particles(opts: PhysicsOptions, combo: dict, x, v, ctrl,
              + jnp.linalg.norm(ctrl.dyn_lin_vel, axis=-1).max()) * horizon
     reach = 0.02 + travel + sweep + 0.05
     pm = min(opts.max_contact_particles, x.shape[0])
-    neg_d, cand = jax.lax.top_k(-d0min, pm)
-    cand_ok = (-neg_d) < reach
+    # sort+slice beats top_k for large-M selections on v5e (see
+    # compact_candidate_slots)
+    d_s, cand = jax.lax.sort(
+        (d0min, jnp.arange(x.shape[0], dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    d_s, cand = d_s[:pm], cand[:pm]
+    cand_ok = d_s < reach
     # drop telemetry uses the band WITHOUT the 0.05 safety slack: the slack
     # exists to be conservative about candidate gating, but counting
     # slack-only particles as "dropped" cries wolf on every scene where a

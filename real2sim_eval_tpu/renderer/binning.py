@@ -43,6 +43,44 @@ ATTR = 16        # lanes per pair row (matches tile_kernel.ATTR)
 N_PAY = 10       # meaningful attr lanes: x, y, conic(3), opacity, rgb, depth
 
 
+def pack_f16_lane(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Two f32 lanes -> one u32 lane of packed f16 halves (a hi, b lo)."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    return (ah << 16) | bh
+
+
+def unpack_f16_lane(p: jax.Array) -> tuple[jax.Array, jax.Array]:
+    a = jax.lax.bitcast_convert_type(
+        (p >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (p & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    return a, b
+
+
+def pack_attr_lanes(attrs: jax.Array) -> list[jax.Array]:
+    """(N, 10) f32 attr table -> 6 sort-payload lanes: x, y kept f32
+    (sub-pixel position accuracy drives the conic quadratic), the rest as
+    f16 pairs (VERDICT round-2 item 2: payload lanes are the dominant sort
+    cost — ~2 ns/lane/key — and f16 keeps conic/color/depth errors ~5e-4
+    relative, far inside the 1/255 rgb / 1e-2 depth golden tolerance)."""
+    return [attrs[:, 0], attrs[:, 1],
+            pack_f16_lane(attrs[:, 2], attrs[:, 3]),
+            pack_f16_lane(attrs[:, 4], attrs[:, 5]),
+            pack_f16_lane(attrs[:, 6], attrs[:, 7]),
+            pack_f16_lane(attrs[:, 8], attrs[:, 9])]
+
+
+def unpack_attr_lanes(lanes: list[jax.Array]) -> list[jax.Array]:
+    out = [lanes[0], lanes[1]]
+    for p in lanes[2:]:
+        a, b = unpack_f16_lane(p)
+        out += [a, b]
+    return out
+
+
 def bin_gaussians(
     pre: dict,
     n_tiles_x: int,
@@ -53,6 +91,7 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 16,
     small_tiles: int = 8,      # dense tile slots per gaussian
     max_large: int = 4096,     # gaussians granted slots beyond small_tiles
+    pack_payloads: bool = True,  # f16-pack 8 of the 10 sort payload lanes
 ):
     """Build depth-sorted per-tile gaussian pair tables.
 
@@ -101,11 +140,14 @@ def bin_gaussians(
     # threshold slack keeps borderline pairs (the kernel decides those).
     q_thr = 2.0 * jnp.log(255.0 * jnp.maximum(pre["opacity"], 1e-12)) + 1e-3
 
-    # the 10 kernel attr lanes, original order (tile_kernel.py layout)
+    # the 10 kernel attr lanes, original order (tile_kernel.py layout),
+    # optionally compressed to 6 sort-payload lanes (x/y f32 + f16 pairs)
     attrs = jnp.concatenate([
         xy, pre["conic"], pre["opacity"].reshape(-1, 1), pre["rgb"],
         pre["depth"].reshape(-1, 1),
     ], axis=-1).astype(jnp.float32)                             # (N, 10)
+    pay_src = (pack_attr_lanes(attrs) if pack_payloads
+               else [attrs[:, L] for L in range(N_PAY)])
     # binning-only per-gaussian quantities (ints < 2^24: exact in f32)
     aux = jnp.stack([
         x0.astype(jnp.float32), y0.astype(jnp.float32),
@@ -120,9 +162,10 @@ def bin_gaussians(
     def emit(d_lo, d_hi, sel=None):
         d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
         if sel is None:
-            at, au = attrs, aux
+            at, au, ps = attrs, aux, pay_src
         else:
-            at, au = attrs[sel], aux[sel]       # two (k_large, ...) gathers
+            at, au = attrs[sel], aux[sel]       # (k_large, ...) gathers
+            ps = [v[sel] for v in pay_src]
         xx0 = au[:, 0].astype(jnp.int32)
         yy0 = au[:, 1].astype(jnp.int32)
         rw = au[:, 2].astype(jnp.int32)
@@ -168,8 +211,7 @@ def bin_gaussians(
         tile = jnp.where(ok, (ty * n_tiles_x + tx), n_tiles)
         shape = tile.shape
         rank_b = jnp.broadcast_to(rank, shape)
-        pay = [jnp.broadcast_to(at[:, L:L + 1], shape).reshape(-1)
-               for L in range(N_PAY)]
+        pay = [jnp.broadcast_to(v[:, None], shape).reshape(-1) for v in ps]
         return tile.reshape(-1), rank_b.reshape(-1), pay
 
     tiles1, rank1, pay1 = emit(0, d_small)
@@ -201,16 +243,24 @@ def bin_gaussians(
     assert rank_bits + tile_bits <= 32, \
         f"tile/rank key overflow: {n} gaussians x {n_tiles} tiles"
     key = (tile_f.astype(jnp.uint32) << rank_bits) | rank_f.astype(jnp.uint32)
-    # one merged 10-payload sort: XLA CSEs the two 5-payload sorts into it
-    # anyway, and forcing a split with an optimization barrier measured
-    # WORSE on chip (68 ms vs 61 at wrist scale) despite isolated micro
-    # benchmarks suggesting otherwise
-    out_a = jax.lax.sort((key,) + tuple(pay_f[:5]), num_keys=1,
-                         is_stable=False)
-    out_b = jax.lax.sort((key,) + tuple(pay_f[5:]), num_keys=1,
-                         is_stable=False)
-    key_s = out_a[0]
-    lanes = list(out_a[1:]) + list(out_b[1:])
+    if pack_payloads:
+        # 6 packed lanes ride ONE sort (payload lanes are the dominant
+        # sort cost at ~2 ns/lane/key)
+        out = jax.lax.sort((key,) + tuple(pay_f), num_keys=1,
+                           is_stable=False)
+        key_s = out[0]
+        lanes = list(out[1:])
+    else:
+        # one merged 10-payload sort: XLA CSEs the two 5-payload sorts into
+        # it anyway, and forcing a split with an optimization barrier
+        # measured WORSE on chip (68 ms vs 61 at wrist scale) despite
+        # isolated micro benchmarks suggesting otherwise
+        out_a = jax.lax.sort((key,) + tuple(pay_f[:5]), num_keys=1,
+                             is_stable=False)
+        out_b = jax.lax.sort((key,) + tuple(pay_f[5:]), num_keys=1,
+                             is_stable=False)
+        key_s = out_a[0]
+        lanes = list(out_a[1:]) + list(out_b[1:])
 
     # 4. crop/pad to the static pair budget + tile ranges. Pad rows are
     # all-zero (dead opacity).
@@ -224,6 +274,8 @@ def bin_gaussians(
                         constant_values=jnp.uint32(n_tiles << rank_bits))
         lanes = [jnp.pad(v, (0, pad)) for v in lanes]
     tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
+    if pack_payloads:
+        lanes = unpack_attr_lanes(lanes)   # post-sort: back to 10 f32 lanes
     pair_attrs = jnp.pad(jnp.stack(lanes, axis=-1),
                          ((0, 0), (0, ATTR - N_PAY)))
 

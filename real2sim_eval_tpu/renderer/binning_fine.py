@@ -39,6 +39,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .binning import pack_attr_lanes, unpack_attr_lanes
 from .fine_kernel import GROUPS
 from .preprocess import tile_rect
 
@@ -55,6 +56,7 @@ def bin_gaussians_fine(
     small_tiles: int = 8,      # dense slot budget per gaussian
     max_tiles_per_gaussian: int = 32,   # budget for the k_large biggest
     max_large: int = 4096,
+    pack_payloads: bool = True,  # f16-pack 8 of the 10 sort payload lanes
 ):
     """Build fine-tile sorted pair streams with analytic bounds.
 
@@ -136,6 +138,8 @@ def bin_gaussians_fine(
         xy, pre["conic"], pre["opacity"].reshape(-1, 1), pre["rgb"],
         pre["depth"].reshape(-1, 1),
     ], axis=-1).astype(jnp.float32)                          # (N, 10)
+    pay_src = (pack_attr_lanes(attrs) if pack_payloads
+               else [attrs[:, L] for L in range(N_PAY)])
     aux = jnp.stack([
         x0c.astype(jnp.float32), y0c.astype(jnp.float32),
         w1s.astype(jnp.float32), area1.astype(jnp.float32),
@@ -145,9 +149,10 @@ def bin_gaussians_fine(
     def emit(d_lo, d_hi, take=None):
         d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
         if take is None:
-            at, au = attrs, aux
+            au, ps = aux, pay_src
         else:
-            at, au = attrs[take], aux[take]
+            au = aux[take]
+            ps = [v[take] for v in pay_src]
         xx0 = au[:, 0].astype(jnp.int32)
         yy0 = au[:, 1].astype(jnp.int32)
         ww = au[:, 2].astype(jnp.int32)[:, None]
@@ -159,8 +164,7 @@ def bin_gaussians_fine(
         tile = jnp.where(ok, ty * n_fine_x + tx, n_fine)
         shape = tile.shape
         rank_b = jnp.broadcast_to(rank, shape)
-        pay = [jnp.broadcast_to(at[:, L:L + 1], shape).reshape(-1)
-               for L in range(N_PAY)]
+        pay = [jnp.broadcast_to(v[:, None], shape).reshape(-1) for v in ps]
         return tile.reshape(-1), rank_b.reshape(-1), pay
 
     tiles1, rank1, pay1 = emit(0, d_small)
@@ -177,12 +181,18 @@ def bin_gaussians_fine(
     assert rank_bits + tile_bits <= 32, \
         f"fine tile/rank key overflow: {n} gaussians x {n_fine} tiles"
     key = (tile_f.astype(jnp.uint32) << rank_bits) | rank_f.astype(jnp.uint32)
-    out_a = jax.lax.sort((key,) + tuple(pay_f[:5]), num_keys=1,
-                         is_stable=False)
-    out_b = jax.lax.sort((key,) + tuple(pay_f[5:]), num_keys=1,
-                         is_stable=False)
-    key_s = out_a[0]
-    lanes = list(out_a[1:]) + list(out_b[1:])
+    if pack_payloads:
+        out = jax.lax.sort((key,) + tuple(pay_f), num_keys=1,
+                           is_stable=False)
+        key_s = out[0]
+        lanes = list(out[1:])
+    else:
+        out_a = jax.lax.sort((key,) + tuple(pay_f[:5]), num_keys=1,
+                             is_stable=False)
+        out_b = jax.lax.sort((key,) + tuple(pay_f[5:]), num_keys=1,
+                             is_stable=False)
+        key_s = out_a[0]
+        lanes = list(out_a[1:]) + list(out_b[1:])
 
     slot_total = tile_f.shape[0]
     if slot_total >= max_pairs:
@@ -194,6 +204,8 @@ def bin_gaussians_fine(
                         constant_values=jnp.uint32(n_fine << rank_bits))
         lanes = [jnp.pad(v, (0, pad)) for v in lanes]
     tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
+    if pack_payloads:
+        lanes = unpack_attr_lanes(lanes)   # post-sort: back to 10 f32 lanes
 
     return {
         "pair_lanes": lanes,

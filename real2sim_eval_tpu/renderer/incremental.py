@@ -146,7 +146,13 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
     bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs,
                          config.max_tiles_per_gaussian,
                          small_tiles=max(config.small_tiles, 8),
-                         max_large=config.max_large)
+                         # exactness contract: the merge's tie rule (dynamic
+                         # before equal-depth static) reproduces the full
+                         # sort's RANK order only on unquantized depths, so
+                         # this path never packs payloads (its per-step
+                         # dynamic sort is small; the big sorts are the
+                         # wrist/full pipeline's)
+                         max_large=config.max_large, pack_payloads=False)
     attrs = gather_pair_attrs(pre, bins, n)                   # (P_s, ATTR)
     depth = jnp.where(bins["pair_tile"] < ntx * nty,
                       attrs[:, DEPTH_LANE], jnp.inf)
@@ -188,7 +194,7 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
                          config.max_tiles_per_gaussian,
                          small_tiles=config.small_tiles,
-                         max_large=config.max_large)
+                         max_large=config.max_large, pack_payloads=False)
     tile_d = bins["pair_tile"]                               # (P_d,)
     p_d = tile_d.shape[0]
     d_attr = gather_pair_attrs(pre, bins, n_dyn)             # (P_d, ATTR)

@@ -70,6 +70,10 @@ class RasterConfig:
     fine_small_tiles: int = 6
     fine_max_tiles: int = 32
     fine_pairs_factor: float = 5.0     # fine pair buffer = factor * N
+    # f16-pack 8 of the 10 sort payload lanes (x/y stay f32): ~40% less
+    # sort work for ~5e-4 relative attr quantization — well inside the
+    # 1/255 rgb / 1e-2 depth pixel tolerance. Exactness tests disable it.
+    pack_payloads: bool = True
     # incremental (dirty-tile) rendering of fixed cameras on a static scene
     # (renderer/incremental.py): "auto" enables it on TPU, "on" forces it
     # (e.g. interpret-mode tests), "off" always uses the full pipeline
@@ -208,7 +212,8 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
             bins = bin_gaussians(pre, n_bin_x, n_sup_y, bin_w, TILE_H,
                                  max_pairs, max_tiles,
                                  small_tiles=config.small_tiles,
-                                 max_large=config.max_large)
+                                 max_large=config.max_large,
+                                 pack_payloads=config.pack_payloads)
             data = gather_pair_table(pre, bins, n)
             return (data, bins["tile_starts"], bins["tile_ends"],
                     bins["n_large_dropped"])
@@ -277,7 +282,8 @@ def _rasterize_batch_fine(cam_w2c_list, scenes, sh_degree, bg, config,
                 pre, n_sup_x, n_sup_y, max_pairs,
                 small_tiles=config.fine_small_tiles,
                 max_tiles_per_gaussian=config.fine_max_tiles,
-                max_large=config.max_large)
+                max_large=config.max_large,
+                pack_payloads=config.pack_payloads)
             data = pack_attr_major(bins["pair_lanes"])
             return (data, bins["fine_starts"], bins["fine_ends"],
                     bins["n_large_dropped"])
@@ -390,7 +396,8 @@ def _composite_pallas(cam: Camera, pre: dict, bg: tuple,
     bins = bin_gaussians(pre, n_tiles_x, n_tiles_y, TILE_W, TILE_H,
                          max_pairs, config.max_tiles_per_gaussian,
                          small_tiles=config.small_tiles,
-                         max_large=config.max_large)
+                         max_large=config.max_large,
+                         pack_payloads=config.pack_payloads)
 
     # pre-gather sorted pair data:
     # [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth]

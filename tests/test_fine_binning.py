@@ -36,7 +36,7 @@ def test_analytic_bounds_equal_sorted_boundaries(seed):
     n_fine = nsx * GROUPS * nsy
     bins = bin_gaussians_fine(pre, nsx, nsy, max_pairs=16384,
                               small_tiles=6, max_tiles_per_gaussian=128,
-                              max_large=n)
+                              max_large=n, pack_payloads=False)
     tiles = np.asarray(bins["pair_tile"])
     starts_ref = np.searchsorted(tiles, np.arange(n_fine), side="left")
     ends_ref = np.searchsorted(tiles, np.arange(n_fine), side="right")

@@ -60,8 +60,12 @@ def scene():
     return cam, w2c, static, dyn
 
 
+# pack_payloads off: these tests assert BITWISE equality between the
+# incremental path (always unpacked — see incremental.py) and the full
+# pipeline, so the full side must stay unquantized too
 CFG = RasterConfig(backend="pallas", interpret=True, max_pairs_factor=10.0,
-                   max_tiles_per_gaussian=32, max_large=4096)
+                   max_tiles_per_gaussian=32, max_large=4096,
+                   pack_payloads=False)
 
 
 def _full_reference(cam, w2c, static, dyn):
@@ -166,7 +170,8 @@ def test_batched_incremental_matches_full(tmp_path):
         return BatchedEvaluator(
             cfg, episode_ids=[0, 1],
             raster_config=RasterConfig(backend="pallas", interpret=True,
-                                       incremental=mode),
+                                       incremental=mode,
+                                       pack_payloads=False),
             physics_backend="xla")
 
     ev_inc = build("on")

@@ -54,8 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .sdf import SdfGrid, blocks4_dims, pack_blocks4
 from .spring_mass import (MeshColliderSet, PhysicsOptions, SpringMassParams,
                           SpringMassState, SubstepControls,
-                          _substep_pose_tables, build_collision_candidates,
-                          compact_candidate_slots, select_contact_particles)
+                          _substep_pose_tables, build_candidate_slots,
+                          select_contact_particles)
 
 LANE = 128
 EPP = 8   # envs per grid program (VPU sublanes)
@@ -814,10 +814,7 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
         if opts.self_collision:
             def freeze_one(x_e, rest_e):
                 p_e = params.replace(rest_x=rest_e)
-                ci, cv, n_drop_c = build_collision_candidates(p_e, opts, x_e)
-                sel_e, sidx_e, sok_e, n_drop_p = compact_candidate_slots(
-                    opts, x_e, ci, cv)
-                return sel_e, sidx_e, sok_e, n_drop_c, n_drop_p
+                return build_candidate_slots(p_e, opts, x_e)
             sel, sidx, sok, n_drop_c, n_drop_p = jax.vmap(freeze_one)(
                 xb, restb)
             tele = tele.at[:, 0].set(n_drop_c).at[:, 1].set(n_drop_p)

@@ -181,6 +181,35 @@ class TestSelfCollision:
         idx, valid, _ = build_collision_candidates(params, opts, jnp.asarray(x0))
         assert not bool(valid.any())
 
+    def test_fused_slot_build_matches_topk_chain(self):
+        """build_candidate_slots (iterative argmin) must be BITWISE
+        identical to build_collision_candidates + compact_candidate_slots
+        (chained top_k) — same nearest-kp selection, same tie rule."""
+        from real2sim_eval_tpu.physics.spring_mass import (
+            build_candidate_slots, compact_candidate_slots)
+
+        rng = np.random.default_rng(3)
+        n = 150
+        x0 = rng.uniform(0, 0.2, (n, 3)).astype(np.float32)
+        params = make_params(x0, np.zeros((0, 2), np.int32), [])
+        opts = PhysicsOptions(collision_dist=0.03, max_candidates=32,
+                              max_self_particles=48, max_self_slots=4,
+                              candidate_chunk=64)
+        # crowded state: many pairs inside collision_dist, incl. ties
+        x = jnp.asarray(rng.uniform(0, 0.08, (n, 3)).astype(np.float32))
+        ci, cv, _ = build_collision_candidates(params, opts, x)
+        sel_a, sidx_a, sok_a, ndp_a = compact_candidate_slots(
+            opts, x, ci, cv)
+        sel_b, sidx_b, sok_b, _, ndp_b = build_candidate_slots(
+            params, opts, x)
+        np.testing.assert_array_equal(np.asarray(sel_a), np.asarray(sel_b))
+        np.testing.assert_array_equal(np.asarray(sok_a), np.asarray(sok_b))
+        # indices only meaningful where ok
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(sok_a, sidx_a, -1)),
+            np.asarray(jnp.where(sok_b, sidx_b, -1)))
+        assert int(ndp_a) == int(ndp_b)
+
     def test_separating_pair_no_impulse(self):
         params = self._two_particle_params()
         opts = PhysicsOptions(collision_dist=0.01, max_candidates=4)

@@ -100,9 +100,10 @@ def bin_gaussians(
       max_pairs: static capacity of the (gaussian, tile) pair buffer.
       max_tiles_per_gaussian: per-gaussian tile-rect clamp (D).
     Returns dict with:
-      pair_attrs: (max_pairs, 16) f32 — the compositor pair table in
-        sorted order (lanes: x, y, conic a/b/c, opacity, r, g, b, depth,
-        0...); rows outside every tile range are dead
+      pair_lanes: 10 (max_pairs,) f32 sorted attr lanes (x, y, conic
+        a/b/c, opacity, r, g, b, depth); rows outside every tile range
+        are dead. Unstacked on purpose — see the layout note at the end
+        of this function
       pair_tile: (max_pairs,) i32 tile id per sorted pair (invalid:
         n_tiles)
       tile_starts / tile_ends: (n_tiles,) i32 pair ranges per tile
@@ -160,37 +161,41 @@ def bin_gaussians(
     # rects get a continuation block for slots [d_small, D). Both report
     # what they clip.
     def emit(d_lo, d_hi, sel=None):
-        d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
+        # SLOT-MAJOR (d, N) layout: with N in the lane dimension every op
+        # runs full-lane; the gaussian-major (N, d) form tiled as d<=16
+        # lanes (~10% utilization, 36 ms/step at B=64). Emission order
+        # changes but the [tile|rank] sort keys are unique, so the sorted
+        # pair stream is bitwise identical.
+        d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[:, None]    # (d, 1)
         if sel is None:
             at, au, ps = attrs, aux, pay_src
         else:
             at, au = attrs[sel], aux[sel]       # (k_large, ...) gathers
             ps = [v[sel] for v in pay_src]
-        xx0 = au[:, 0].astype(jnp.int32)
-        yy0 = au[:, 1].astype(jnp.int32)
+        xx0 = au[:, 0].astype(jnp.int32)[None, :]
+        yy0 = au[:, 1].astype(jnp.int32)[None, :]
         rw = au[:, 2].astype(jnp.int32)
-        cnt = au[:, 3].astype(jnp.int32)
-        qt = au[:, 4]
-        rank = au[:, 5].astype(jnp.int32)[:, None]
-        gx = at[:, 0]
-        gy = at[:, 1]
-        co = at[:, 2:5]
-        rwm = jnp.maximum(rw, 1)[:, None]
-        tx = xx0[:, None] + d % rwm
-        ty = yy0[:, None] + d // rwm
-        ok = d < cnt[:, None]
+        cnt = au[:, 3].astype(jnp.int32)[None, :]
+        qt = au[:, 4][None, :]
+        rank = au[:, 5].astype(jnp.int32)[None, :]
+        gx = at[:, 0][None, :]
+        gy = at[:, 1][None, :]
+        rwm = jnp.maximum(rw, 1)[None, :]
+        tx = xx0 + d % rwm
+        ty = yy0 + d // rwm
+        ok = d < cnt
 
         # exact tile cull: min of q = ca*dx^2 + 2*cb*dx*dy + cc*dy^2 over
         # the tile's pixel box. The PD-quadratic min over a box is either
         # the (clamped) unconstrained optimum or an edge point whose free
         # coordinate is the clamped 1D stationary point — 5 candidates.
-        ca = co[:, 0:1]
-        cb = co[:, 1:2]
-        cc = jnp.maximum(co[:, 2:3], 1e-12)
+        ca = at[:, 2][None, :]
+        cb = at[:, 3][None, :]
+        cc = jnp.maximum(at[:, 4][None, :], 1e-12)
         caf = jnp.maximum(ca, 1e-12)
-        lx = (tx * tile_w).astype(jnp.float32) - gx[:, None]
+        lx = (tx * tile_w).astype(jnp.float32) - gx
         ux = lx + (tile_w - 1)
-        ly = (ty * tile_h).astype(jnp.float32) - gy[:, None]
+        ly = (ty * tile_h).astype(jnp.float32) - gy
         uy = ly + (tile_h - 1)
 
         def q(dx, dy):
@@ -206,12 +211,12 @@ def bin_gaussians(
         q4 = q(cl(-cb * uy / caf, lx, ux), uy)
         qmin = jnp.minimum(jnp.minimum(jnp.minimum(q0, q1),
                                        jnp.minimum(q2, q3)), q4)
-        ok = ok & (qmin <= qt[:, None])
+        ok = ok & (qmin <= qt)
 
-        tile = jnp.where(ok, (ty * n_tiles_x + tx), n_tiles)
+        tile = jnp.where(ok, (ty * n_tiles_x + tx), n_tiles)   # (d, N)
         shape = tile.shape
         rank_b = jnp.broadcast_to(rank, shape)
-        pay = [jnp.broadcast_to(v[:, None], shape).reshape(-1) for v in ps]
+        pay = [jnp.broadcast_to(v[None, :], shape).reshape(-1) for v in ps]
         return tile.reshape(-1), rank_b.reshape(-1), pay
 
     tiles1, rank1, pay1 = emit(0, d_small)
@@ -276,8 +281,11 @@ def bin_gaussians(
     tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
     if pack_payloads:
         lanes = unpack_attr_lanes(lanes)   # post-sort: back to 10 f32 lanes
-    pair_attrs = jnp.pad(jnp.stack(lanes, axis=-1),
-                         ((0, 0), (0, ATTR - N_PAY)))
+    # the lanes stay UNSTACKED: a stacked (P, 16) attr table takes an
+    # attr-minor {.,.,attr} layout under vmap and tiles 16 lanes into 128
+    # (8x HBM padding — 9.2 GB and an OOM at the 100k-gaussian bench
+    # scale). Consumers build their packed form straight from the lanes
+    # (pack_pair_rows / gather_pair_table's transposing lax.reshape).
 
     # one searchsorted over [0..n_tiles] gives both range ends: pairs of
     # tile t occupy [starts[t], starts[t+1]) in the sorted stream (the
@@ -289,7 +297,7 @@ def bin_gaussians(
     ends = bounds[1:]
 
     return {
-        "pair_attrs": pair_attrs,      # (max_pairs, 16) kernel pair table
+        "pair_lanes": lanes,           # 10 (max_pairs,) sorted attr lanes
         "pair_tile": tiles_sorted,     # (max_pairs,) tile id per sorted pair
         "tile_starts": starts,
         "tile_ends": ends,

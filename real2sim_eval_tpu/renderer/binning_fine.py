@@ -147,24 +147,27 @@ def bin_gaussians_fine(
     ], axis=-1)                                              # (N, 5)
 
     def emit(d_lo, d_hi, take=None):
-        d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[None, :]
+        # slot-major (d, N): N in the lane dimension (see binning.py emit —
+        # the (N, d) form runs at <=16/128 lane utilization). Sorted
+        # output is bitwise invariant (unique [tile|rank] keys).
+        d = jnp.arange(d_lo, d_hi, dtype=jnp.int32)[:, None]
         if take is None:
             au, ps = aux, pay_src
         else:
             au = aux[take]
             ps = [v[take] for v in pay_src]
-        xx0 = au[:, 0].astype(jnp.int32)
-        yy0 = au[:, 1].astype(jnp.int32)
-        ww = au[:, 2].astype(jnp.int32)[:, None]
-        cnt = au[:, 3].astype(jnp.int32)[:, None]
-        rank = au[:, 4].astype(jnp.int32)[:, None]
-        tx = xx0[:, None] + d % ww
-        ty = yy0[:, None] + d // ww
+        xx0 = au[:, 0].astype(jnp.int32)[None, :]
+        yy0 = au[:, 1].astype(jnp.int32)[None, :]
+        ww = jnp.maximum(au[:, 2].astype(jnp.int32), 1)[None, :]
+        cnt = au[:, 3].astype(jnp.int32)[None, :]
+        rank = au[:, 4].astype(jnp.int32)[None, :]
+        tx = xx0 + d % ww
+        ty = yy0 + d // ww
         ok = d < cnt
         tile = jnp.where(ok, ty * n_fine_x + tx, n_fine)
         shape = tile.shape
         rank_b = jnp.broadcast_to(rank, shape)
-        pay = [jnp.broadcast_to(v[:, None], shape).reshape(-1) for v in ps]
+        pay = [jnp.broadcast_to(v[None, :], shape).reshape(-1) for v in ps]
         return tile.reshape(-1), rank_b.reshape(-1), pay
 
     tiles1, rank1, pay1 = emit(0, d_small)

@@ -91,18 +91,35 @@ def fit_bone_rotations(bones, motions, relations):
     # eigenvalues of F/s are bounded by 1, so +1.5 I forces positivity
     d0 = _det3(X)
     X = X + jnp.where(d0 < 1e-6, 1.5, 0.0)[:, None, None] * eye
+
+    # structure-of-arrays Newton: ops on (B, 3, 3) tensors tile as 3-lane
+    # vectors on TPU (~3% lane utilization — 21.5 ms/step at B=64x1000
+    # bones); unpacked to 9 (B,) component arrays every op runs full-lane
+    # (same formulas element-for-element, so results are bitwise equal)
+    x = [[X[..., i, j] for j in range(3)] for i in range(3)]
     for _ in range(8):
         # determinant scaling accelerates Newton across the huge singular
         # -value spread the 1e-3 bias creates (converges in ~6 iterations)
-        g = jnp.abs(_det3(X)) ** (-1.0 / 3.0)
-        X = X * g[:, None, None]
-        c0 = jnp.cross(X[:, :, 1], X[:, :, 2], axis=-1)
-        c1 = jnp.cross(X[:, :, 2], X[:, :, 0], axis=-1)
-        c2 = jnp.cross(X[:, :, 0], X[:, :, 1], axis=-1)
-        inv_t = (jnp.stack([c0, c1, c2], axis=-1)
-                 / jnp.sum(X[:, :, 0] * c0, axis=-1)[:, None, None])
-        X = 0.5 * (X + inv_t)
-    return X
+        c0 = (x[1][1] * x[2][2] - x[2][1] * x[1][2],
+              x[2][1] * x[0][2] - x[0][1] * x[2][2],
+              x[0][1] * x[1][2] - x[1][1] * x[0][2])          # col1 x col2
+        det = x[0][0] * c0[0] + x[1][0] * c0[1] + x[2][0] * c0[2]
+        g = jnp.abs(det) ** (-1.0 / 3.0)
+        x = [[v * g for v in row] for row in x]
+        c0 = (x[1][1] * x[2][2] - x[2][1] * x[1][2],
+              x[2][1] * x[0][2] - x[0][1] * x[2][2],
+              x[0][1] * x[1][2] - x[1][1] * x[0][2])          # col1 x col2
+        c1 = (x[1][2] * x[2][0] - x[2][2] * x[1][0],
+              x[2][2] * x[0][0] - x[0][2] * x[2][0],
+              x[0][2] * x[1][0] - x[1][2] * x[0][0])          # col2 x col0
+        c2 = (x[1][0] * x[2][1] - x[2][0] * x[1][1],
+              x[2][0] * x[0][1] - x[0][0] * x[2][1],
+              x[0][0] * x[1][1] - x[1][0] * x[0][1])          # col0 x col1
+        det = x[0][0] * c0[0] + x[1][0] * c0[1] + x[2][0] * c0[2]
+        cols = (c0, c1, c2)
+        x = [[0.5 * (x[i][j] + cols[j][i] / det) for j in range(3)]
+             for i in range(3)]
+    return jnp.stack([jnp.stack(row, axis=-1) for row in x], axis=-2)
 
 
 def interpolate_motions(bones, motions, relations, weights, weights_indices,

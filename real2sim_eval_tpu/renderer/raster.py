@@ -123,25 +123,39 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
 
 
 def gather_pair_attrs(pre: dict, bins: dict, n: int) -> jax.Array:
-    """Pair-level attribute table (P, ATTR).
+    """Pair-level attribute table (P, ATTR) rows.
 
     Since binning v3 the sorted attr lanes ride the tile sort as payloads
-    (binning.py step 3), so the table already exists — earlier designs
-    gathered it per pair (~35 ns/row batched on TPU, 190 ms/step at 64
-    wrist instances) and this call is kept as the single consumer-facing
-    accessor."""
+    (binning.py step 3), so no per-pair gather is needed (~35 ns/row
+    batched on TPU, 190 ms/step at 64 wrist instances in the v2 design).
+    Row form is for the incremental merge's scatter/gather bookkeeping —
+    ONLY materialize it at small P (the stacked (P, 16) table takes an
+    attr-minor layout under vmap: 8x lane padding in HBM)."""
     del pre, n
-    return bins["pair_attrs"]
+    from .tile_kernel import ATTR
+
+    lanes = bins["pair_lanes"]
+    return jnp.pad(jnp.stack(lanes, axis=-1),
+                   ((0, 0), (0, ATTR - len(lanes))))
 
 
 def gather_pair_table(pre: dict, bins: dict, n: int) -> jax.Array:
-    """Packed (P/8, 128) kernel pair table (see gather_pair_attrs)."""
+    """Packed (P/8, 128) kernel pair table, lane = 16*j + a (pair-major).
+
+    Built from the sorted lanes with ONE transposing lax.reshape —
+    stacking rows first ((P, 16) f32) tiles 16 attr lanes into 128 under
+    vmap (8x padded HBM: 9.2 GB / OOM at the 100k-gaussian bench)."""
+    del pre, n
     from .tile_kernel import ATTR, GPR
 
-    gathered = gather_pair_attrs(pre, bins, n)
-    p = gathered.shape[0]
+    lanes = list(bins["pair_lanes"])
+    p = lanes[0].shape[0]
     assert p % GPR == 0
-    return gathered.reshape(-1, GPR * ATTR)
+    lanes += [jnp.zeros_like(lanes[0])] * (ATTR - len(lanes))
+    a = jnp.stack(lanes, axis=0).reshape(ATTR, p // GPR, GPR)
+    # read order (pair-row, j, attr) -> lane 16*j + a, no (.., 16)-minor
+    # intermediate
+    return jax.lax.reshape(a, (p // GPR, GPR * ATTR), dimensions=(1, 2, 0))
 
 
 def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),

@@ -31,7 +31,6 @@ import time
 # optional line ranges refine the stage.
 STAGE_RULES = [
     (r"tile_kernel\.py", "compositor (wide kernel)"),
-    (r"octet_kernel\.py", "compositor (octet kernel)"),
     (r"fine_kernel\.py", "compositor (fine kernel)"),
     (r"incremental\.py", "incremental merge/bookkeeping"),
     (r"binning\.py", "binning"),
@@ -169,17 +168,9 @@ def main():
 
     import bench
 
-    if args.gaussians:
-        import real2sim_eval_tpu.testing as testing
-        _orig = testing.make_synthetic_scene
-
-        def patched(*a, **kw):
-            kw["n_table"] = args.gaussians
-            return _orig(*a, **kw)
-        testing.make_synthetic_scene = patched
-
     t0 = time.time()
-    ev = bench.build_evaluator(args.batch)
+    ev = bench.build_evaluator(args.batch,
+                               args.gaussians or bench.N_TABLE_SMALL)
     print(f"evaluator built in {time.time() - t0:.0f}s", flush=True)
 
     B = args.batch

@@ -390,6 +390,61 @@ class BatchedEvaluator:
                     parts[k].append(table[k][static_rows])
             return {k: jnp.concatenate(v, 0) for k, v in parts.items()}
 
+        # ---- init-time budget calibration (renderer/calibrate.py): every
+        # raster buffer is static-shaped, so measure each camera family's
+        # pair/grant demand on the INITIAL composed state and size budgets
+        # from demand x margin instead of fixed factors. Families: wrist
+        # full pipeline, fixed+wrist one-launch (non-incremental), static
+        # build, and the per-step dynamic binning of the incremental merge.
+        rcfg_wrist = rcfg_mixed = rcfg_static = rcfg_dyn = rcfg
+        t_budget, p_mix = rcfg.dirty_budget, rcfg.mix_pairs
+        dyn0 = None
+        calibrating = (rcfg.auto_budgets and raster_backend == "pallas"
+                       and rcfg.kernel == "wide"
+                       and (fixed_cams or wrist_cams))
+        if calibrating:
+            from ..renderer import calibrate as cal
+            from ..renderer.raster import TILE_H, TILE_W
+
+            st0 = self.state
+            scenes0, _ = self._compose(st0.rel_pose, st0.sm.x, st0.grippers,
+                                       st0.qpos7)
+            n_all = scenes0["means3D"].shape[1]
+            eef_rot0 = jax.vmap(tf.quat_to_rot)(st0.grippers[:, 6:10])
+            wlist0 = [(cam, jax.vmap(wrist_w2c_jax, in_axes=(None, 0, 0))(
+                eef2c, st0.grippers[:, :3], eef_rot0))
+                for cam, eef2c in wrist_cams]
+            flist0 = [(cam, jnp.broadcast_to(
+                jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))
+                for cam, w2c in fixed_cams]
+            if wlist0:
+                dem_w = cal.measure_demand(wlist0, scenes0, sh_deg,
+                                           TILE_W, TILE_H, 4, 8, 16)
+                rcfg_wrist = cal.plan_config(rcfg, dem_w, n_all, rcfg.chunk,
+                                             4, 8, 16)
+            if not use_incremental and (fixed_cams or wrist_cams):
+                dem_all = cal.measure_demand(flist0 + wlist0, scenes0,
+                                             sh_deg, TILE_W, TILE_H,
+                                             4, 8, 16)
+                rcfg_mixed = cal.plan_config(rcfg, dem_all, n_all,
+                                             rcfg.chunk, 4, 8, 16)
+            if use_incremental:
+                dyn0, _ = jax.jit(jax.vmap(compose_dyn))(
+                    st0.rel_pose, st0.sm.x, st0.grippers, st0.qpos7)
+                n_dyn0 = dyn0["means3D"].shape[1]
+                dem_d = cal.measure_demand(flist0, dyn0, sh_deg,
+                                           TILE_W, TILE_H, 4, 8, 16)
+                rcfg_dyn = cal.plan_config(rcfg, dem_d, n_dyn0, 8, 4, 8, 16)
+                sscene = static_scene()
+                dem_s = cal.measure_demand(
+                    [(cam, jnp.asarray(w2c, jnp.float32)[None])
+                     for cam, w2c in fixed_cams],
+                    {k: v[None] for k, v in sscene.items()}, sh_deg,
+                    TILE_W, TILE_H, 8, 12, 16)
+                rcfg_static = cal.plan_config(
+                    rcfg, dem_s, sscene["means3D"].shape[0], rcfg.chunk,
+                    8, 12, 16)
+
         if use_incremental:
             from ..renderer.incremental import (build_static_raster,
                                                 render_incremental)
@@ -398,13 +453,61 @@ class BatchedEvaluator:
             st_scene = static_scene()
             cam_static = [
                 (cam, build_static_raster(cam, jnp.asarray(w2c, jnp.float32),
-                                          st_scene, sh_deg, rcfg), w2c)
+                                          st_scene, sh_deg, rcfg_static),
+                 w2c)
                 for cam, w2c in fixed_cams]
+
+            if calibrating:
+                # mix budgets need the TRUNCATED static segments, so they
+                # calibrate after the static rasters exist: per env/cam,
+                # bin the initial dynamic scene with the calibrated dyn
+                # budgets and measure the merged-stream demand
+                from ..renderer.binning import bin_gaussians
+                from ..renderer.preprocess import preprocess_gaussians
+
+                dshs0 = (dyn0["shs"] if sh_deg > 0
+                         else dyn0["shs"][:, :, :1])
+                n_dirty_mx = mix_mx = dynp_mx = 0
+                mp_d = (rcfg_dyn.max_pairs_override
+                        or int(rcfg.max_pairs_factor * n_dyn0))
+                mp_d = -(-mp_d // 8) * 8
+                for cam, static, w2c in cam_static:
+                    def one_mix(means, scales, quats, opac, sh, _cam=cam,
+                                _st=static,
+                                _w2c=jnp.asarray(w2c, jnp.float32)):
+                        pre = preprocess_gaussians(
+                            _cam, _w2c, means, scales, quats, opac, sh,
+                            sh_deg)
+                        bins = bin_gaussians(
+                            pre, _st.n_tiles_x, _st.n_tiles_y,
+                            TILE_W, TILE_H, mp_d,
+                            rcfg_dyn.max_tiles_per_gaussian,
+                            small_tiles=rcfg_dyn.small_tiles,
+                            max_large=rcfg_dyn.max_large,
+                            pack_payloads=False,
+                            mid_tiles=rcfg_dyn.mid_tiles,
+                            max_mid=rcfg_dyn.max_mid)
+                        cnt_d = bins["tile_ends"] - bins["tile_starts"]
+                        dirty = cnt_d > 0
+                        len_s = jnp.where(dirty, _st.ends - _st.starts, 0)
+                        return (jnp.sum(dirty.astype(jnp.int32)),
+                                jnp.sum(len_s + cnt_d), jnp.sum(cnt_d))
+                    nd, mx, dp = jax.jit(jax.vmap(one_mix))(
+                        dyn0["means3D"], dyn0["scales"], dyn0["rotations"],
+                        dyn0["opacities"], dshs0)
+                    n_dirty_mx = max(n_dirty_mx, int(jax.device_get(
+                        jnp.max(nd))))
+                    mix_mx = max(mix_mx, int(jax.device_get(jnp.max(mx))))
+                    dynp_mx = max(dynp_mx, int(jax.device_get(
+                        jnp.max(dp))))
+                t_budget, p_mix = cal.plan_mix_budgets(
+                    None, dynp_mx, n_dirty_mx, mix_mx)
             # exposed for on-chip golden checks (bench.py --check)
             self._incremental_debug = {
                 "cam_static": cam_static, "static_scene": st_scene,
                 "compose_dyn": jax.jit(jax.vmap(compose_dyn)),
                 "sh_deg": sh_deg,
+                "rcfg_dyn": rcfg_dyn, "t_budget": t_budget, "p_mix": p_mix,
             }
 
             @jax.jit
@@ -413,8 +516,8 @@ class BatchedEvaluator:
                     state.rel_pose, state.sm.x, state.grippers, state.qpos7)
                 B = state.sm.x.shape[0]
                 rgb_f, dep_f, tele = render_incremental(
-                    cam_static, dyn, sh_deg, rcfg,
-                    t_budget=rcfg.dirty_budget, p_mix=rcfg.mix_pairs)
+                    cam_static, dyn, sh_deg, rcfg_dyn,
+                    t_budget=t_budget, p_mix=p_mix)
                 ims = jnp.swapaxes(rgb_f, 0, 1)
                 depths = jnp.swapaxes(dep_f, 0, 1)
                 if wrist_cams:
@@ -432,7 +535,7 @@ class BatchedEvaluator:
                             eef2c, state.grippers[:, :3], eef_rot)
                         wlist.append((cam, w2c_b))
                     rgb_w, dep_w, wdrop = rasterize_batch(
-                        wlist, scenes, sh_deg, config=rcfg,
+                        wlist, scenes, sh_deg, config=rcfg_wrist,
                         return_drops=True)
                     wims = jnp.swapaxes(rgb_w, 0, 1)
                     wdepths = jnp.swapaxes(dep_w, 0, 1)
@@ -461,7 +564,7 @@ class BatchedEvaluator:
                         eef2c, state.grippers[:, :3], eef_rot)
                     cam_list.append((cam, w2c_b))
                 rgb, depth, drops = rasterize_batch(cam_list, scenes, sh_deg,
-                                                    config=rcfg,
+                                                    config=rcfg_mixed,
                                                     return_drops=True)
                 nf = len(fixed_cams)
                 ims = jnp.swapaxes(rgb[:nf], 0, 1)
@@ -509,6 +612,12 @@ class BatchedEvaluator:
                                 jnp.zeros((len(wrist_cams), B), jnp.int32)),)
 
         self._render = render
+        # calibrated per-family budgets (inspection + bench --check parity)
+        self.calibrated = {
+            "rcfg_wrist": rcfg_wrist, "rcfg_mixed": rcfg_mixed,
+            "rcfg_static": rcfg_static, "rcfg_dyn": rcfg_dyn,
+            "t_budget": t_budget, "p_mix": p_mix,
+        }
 
         # velocity-control mimic, batched (gs_renderer.py:1115-1166)
         chain = self._chain

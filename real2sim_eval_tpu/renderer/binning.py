@@ -92,6 +92,8 @@ def bin_gaussians(
     small_tiles: int = 8,      # dense tile slots per gaussian
     max_large: int = 4096,     # gaussians granted slots beyond small_tiles
     pack_payloads: bool = True,  # f16-pack 8 of the 10 sort payload lanes
+    mid_tiles: int = 0,        # optional middle tier cap (0 = two-tier)
+    max_mid: int = 0,          # gaussians granted slots [small, mid_tiles)
 ):
     """Build depth-sorted per-tile gaussian pair tables.
 
@@ -219,20 +221,46 @@ def bin_gaussians(
         pay = [jnp.broadcast_to(v[None, :], shape).reshape(-1) for v in ps]
         return tile.reshape(-1), rank_b.reshape(-1), pay
 
-    tiles1, rank1, pay1 = emit(0, d_small)
-    if D > d_small and k_large > 0:
+    m = min(mid_tiles, D) if mid_tiles else 0
+    use_mid = m > d_small and max_mid > 0
+    parts = [emit(0, d_small)]
+    if use_mid:
+        # THREE-tier emission: a [d_small, m) continuation for the top
+        # ``max_mid`` rects and a [m, D) continuation for the top
+        # ``max_large``. Close-up cameras put 20-30% of gaussians past
+        # d_small tiles but only ~1% past m, so tiering keeps the sort
+        # input near demand instead of granting every big rect D slots.
+        # One descending argsort serves both grant tiers.
+        k_mid = min(max_mid, n)
+        neg = jnp.argsort(-counts_c).astype(jnp.int32)
+        sel_mid = neg[:k_mid]
+        parts.append(emit(d_small, m, sel_mid))
+        extra2 = jnp.maximum(jnp.minimum(counts_c, m) - d_small, 0)
+        n_large_dropped = jnp.sum(extra2) - jnp.sum(extra2[sel_mid])
+        extra3 = jnp.maximum(counts_c - m, 0)
+        if D > m and k_large > 0:
+            sel_lg = neg[:k_large]
+            parts.append(emit(m, D, sel_lg))
+            n_large_dropped = (n_large_dropped + jnp.sum(extra3)
+                               - jnp.sum(extra3[sel_lg]))
+        else:
+            n_large_dropped = n_large_dropped + jnp.sum(extra3)
+        n_large_dropped = n_large_dropped.astype(jnp.int32)
+    elif D > d_small and k_large > 0:
         _, sel = jax.lax.top_k(counts_c, k_large)
-        tiles2, rank2, pay2 = emit(d_small, D, sel.astype(jnp.int32))
-        tile_f = jnp.concatenate([tiles1, tiles2])
-        rank_f = jnp.concatenate([rank1, rank2])
-        pay_f = [jnp.concatenate([a, b]) for a, b in zip(pay1, pay2)]
+        parts.append(emit(d_small, D, sel.astype(jnp.int32)))
         extra = jnp.maximum(counts_c - d_small, 0)
         n_large_dropped = (jnp.sum(extra) - jnp.sum(extra[sel])
                            ).astype(jnp.int32)
     else:
-        tile_f, rank_f, pay_f = tiles1, rank1, pay1
         n_large_dropped = jnp.sum(
             jnp.maximum(counts_c - d_small, 0)).astype(jnp.int32)
+    if len(parts) == 1:
+        tile_f, rank_f, pay_f = parts[0]
+    else:
+        tile_f = jnp.concatenate([p[0] for p in parts])
+        rank_f = jnp.concatenate([p[1] for p in parts])
+        pay_f = [jnp.concatenate(vs) for vs in zip(*[p[2] for p in parts])]
     # exact-culled slots carry the sentinel tile: count what actually
     # survives (culled pairs are pixel-exact zero, NOT drops)
     n_emitted = jnp.sum(tile_f < n_tiles).astype(jnp.int32)

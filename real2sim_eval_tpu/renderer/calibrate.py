@@ -1,0 +1,129 @@
+"""Init-time render budget calibration.
+
+Every buffer in the raster pipeline is static-shaped (XLA requirement),
+so budgets must be fixed before the first compile. Hand-tuned factors
+(pairs = 3N, 4096 large-rect grants) silently under-render scenes that
+don't look like the scene they were tuned on: a close wrist camera puts
+20-30%% of gaussians past the dense slot block, and a dense scan
+multiplies per-tile static segments in the incremental merge. The
+reference never faces this — CUDA's duplicateWithKeys allocates the
+exact pair buffer per frame on device (rasterizer_impl.cu:70-138) —
+but a TPU-native design can get the same honesty a different way:
+MEASURE the demand on the initial state at evaluator build time (one
+cheap preprocess + rect-count pass per camera, vmapped over envs) and
+size every budget from measured demand x margin. Margins absorb
+in-episode motion; the drop telemetry lanes (surfaced per step in
+production) remain the loud backstop if an episode outgrows them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+from .preprocess import preprocess_gaussians, tile_rect
+
+# margin over measured init demand; in-episode motion changes pair counts
+# by O(10%) on the bench scenes (the wrist camera is the most volatile)
+PAIR_MARGIN = 1.5
+GRANT_MARGIN = 1.4
+MIX_MARGIN = 1.8
+TILE_MARGIN = 1.5
+
+
+@dataclasses.dataclass(frozen=True)
+class DemandStats:
+    """Measured binning demand for one camera family (max over envs/cams)."""
+
+    pairs: int        # rect pairs after the D clamp
+    n_gt_small: int   # gaussians needing slots beyond the dense block
+    n_gt_mid: int     # gaussians needing slots beyond the mid tier
+    n_gt_cap: int     # gaussians whose rect exceeds the D cap
+    max_rect: int     # largest single-gaussian rect (tiles)
+
+
+def _demand_one(cam: Camera, w2c, means, scales, quats, opac, shs,
+                sh_degree: int, tile_w: int, tile_h: int,
+                small: int, mid: int, cap: int):
+    pre = preprocess_gaussians(cam, w2c, means, scales, quats, opac, shs,
+                               sh_degree)
+    ntx = -(-cam.width // tile_w)
+    nty = -(-cam.height // tile_h)
+    x0, y0, x1, y1 = tile_rect(pre["xy"], pre["radius"], ntx, nty,
+                               tile_w, tile_h)
+    counts = jnp.where(pre["valid"], (x1 - x0) * (y1 - y0), 0)
+    return (jnp.sum(jnp.minimum(counts, cap)),
+            jnp.sum((counts > small).astype(jnp.int32)),
+            jnp.sum((counts > mid).astype(jnp.int32)),
+            jnp.sum((counts > cap).astype(jnp.int32)),
+            jnp.max(counts))
+
+
+def measure_demand(cam_w2c_list, scenes: dict, sh_degree: int,
+                   tile_w: int, tile_h: int, small: int, mid: int,
+                   cap: int) -> DemandStats:
+    """Max demand over (cameras x envs).
+
+    cam_w2c_list: list of (Camera, w2c (B, 4, 4)).
+    scenes: stacked (B, N, ...) gaussian dict.
+    """
+    shs = scenes["shs"] if sh_degree > 0 else scenes["shs"][:, :, :1]
+    fn = functools.partial(_demand_one, sh_degree=sh_degree,
+                           tile_w=tile_w, tile_h=tile_h,
+                           small=small, mid=mid, cap=cap)
+    agg = None
+    for cam, w2c_b in cam_w2c_list:
+        outs = jax.jit(jax.vmap(
+            lambda w, m, s, q, o, h, _cam=cam: fn(_cam, w, m, s, q, o, h)
+        ))(jnp.asarray(w2c_b, jnp.float32), scenes["means3D"],
+           scenes["scales"], scenes["rotations"], scenes["opacities"], shs)
+        outs = [int(jax.device_get(jnp.max(v))) for v in outs]
+        agg = outs if agg is None else [max(a, b)
+                                        for a, b in zip(agg, outs)]
+    return DemandStats(pairs=agg[0], n_gt_small=agg[1], n_gt_mid=agg[2],
+                       n_gt_cap=agg[3], max_rect=agg[4])
+
+
+def _round_up(v: int, q: int) -> int:
+    return -(-int(v) // q) * q
+
+
+def plan_config(config, demand: DemandStats, n: int, chunk_align: int,
+                small: int, mid: int, cap: int):
+    """Budget-calibrated copy of ``config`` for one full-pipeline family.
+
+    Sets the pair buffer, the mid/large grant counts, and the rect cap
+    from measured demand (margins above). ``max_pairs_override`` takes
+    precedence over ``max_pairs_factor`` in the consumers.
+    """
+    max_pairs = _round_up(max(demand.pairs * PAIR_MARGIN, 64), chunk_align)
+    max_mid = min(_round_up(demand.n_gt_small * GRANT_MARGIN + 256, 256), n)
+    max_large = min(_round_up(demand.n_gt_mid * GRANT_MARGIN + 128, 128), n)
+    # rect cap: cover the largest observed rect (with margin headroom) so
+    # a close-up splat never gets a hole punched in it; drops stay loud
+    # through n_large_dropped either way
+    cap_eff = cap if demand.max_rect <= cap else min(
+        _round_up(demand.max_rect * 1.3, 16), 512)
+    return dataclasses.replace(
+        config,
+        max_pairs_override=max_pairs,
+        small_tiles=small,
+        mid_tiles=mid,
+        max_mid=max_mid,
+        max_tiles_per_gaussian=cap_eff,
+        max_large=max_large,
+    )
+
+
+def plan_mix_budgets(static_rasters, dyn_demand_pairs: int,
+                     n_dirty: int, mix_demand: int):
+    """(t_budget, p_mix) for the incremental merge from measured demand."""
+    t_budget = _round_up(n_dirty * TILE_MARGIN + 8, 8)
+    p_mix = _round_up(max(mix_demand, dyn_demand_pairs) * MIX_MARGIN, 512)
+    del static_rasters
+    return int(t_budget), int(p_mix)

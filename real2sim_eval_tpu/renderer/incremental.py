@@ -133,7 +133,10 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
     ntx = -(-cam.width // TILE_W)
     nty = -(-cam.height // TILE_H)
     # one-time build: buffer size costs nothing per step here, so keep a
-    # generous floor regardless of the (runtime-tuned) config factor
+    # generous floor regardless of the (runtime-tuned) config factor.
+    # NOTE: deliberately ignores max_pairs_override — that calibration
+    # (renderer/calibrate.py) is for the per-step DYNAMIC binning; the
+    # static build sizes to its own scene
     max_pairs = int(max(config.max_pairs_factor, 6.0) * n)
     max_pairs = -(-max_pairs // config.chunk) * config.chunk
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
@@ -188,13 +191,16 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     ntx, nty = static.n_tiles_x, static.n_tiles_y
     n_tiles = ntx * nty
     p_s = static.data_pairs.shape[0]
-    max_pairs_d = int(config.max_pairs_factor * n_dyn)
+    max_pairs_d = (config.max_pairs_override
+                   or int(config.max_pairs_factor * n_dyn))
     max_pairs_d = -(-max_pairs_d // GPR) * GPR
 
     bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
                          config.max_tiles_per_gaussian,
                          small_tiles=config.small_tiles,
-                         max_large=config.max_large, pack_payloads=False)
+                         max_large=config.max_large, pack_payloads=False,
+                         mid_tiles=config.mid_tiles,
+                         max_mid=config.max_mid)
     tile_d = bins["pair_tile"]                               # (P_d,)
     p_d = tile_d.shape[0]
     d_attr = gather_pair_attrs(pre, bins, n_dyn)             # (P_d, ATTR)

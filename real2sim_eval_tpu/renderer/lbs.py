@@ -94,32 +94,34 @@ def fit_bone_rotations(bones, motions, relations):
 
     # structure-of-arrays Newton: ops on (B, 3, 3) tensors tile as 3-lane
     # vectors on TPU (~3% lane utilization — 21.5 ms/step at B=64x1000
-    # bones); unpacked to 9 (B,) component arrays every op runs full-lane
-    # (same formulas element-for-element, so results are bitwise equal)
-    x = [[X[..., i, j] for j in range(3)] for i in range(3)]
-    for _ in range(8):
+    # bones); in component-major (3, 3, B) layout every op runs full-lane
+    # (same formulas element-for-element, so results are bitwise equal).
+    # The iteration is a lax loop, NOT unrolled: 8 unrolled trips of the
+    # nested cofactor products send XLA:CPU's algebraic simplifier into
+    # minutes-long compiles (TPU compiled fine, but tests run on CPU)
+    def body(_, x):
         # determinant scaling accelerates Newton across the huge singular
         # -value spread the 1e-3 bias creates (converges in ~6 iterations)
-        c0 = (x[1][1] * x[2][2] - x[2][1] * x[1][2],
-              x[2][1] * x[0][2] - x[0][1] * x[2][2],
-              x[0][1] * x[1][2] - x[1][1] * x[0][2])          # col1 x col2
-        det = x[0][0] * c0[0] + x[1][0] * c0[1] + x[2][0] * c0[2]
+        def col_cross(a, b):
+            return jnp.stack([x[1, a] * x[2, b] - x[2, a] * x[1, b],
+                              x[2, a] * x[0, b] - x[0, a] * x[2, b],
+                              x[0, a] * x[1, b] - x[1, a] * x[0, b]])
+
+        c0 = col_cross(1, 2)
+        det = x[0, 0] * c0[0] + x[1, 0] * c0[1] + x[2, 0] * c0[2]
         g = jnp.abs(det) ** (-1.0 / 3.0)
-        x = [[v * g for v in row] for row in x]
-        c0 = (x[1][1] * x[2][2] - x[2][1] * x[1][2],
-              x[2][1] * x[0][2] - x[0][1] * x[2][2],
-              x[0][1] * x[1][2] - x[1][1] * x[0][2])          # col1 x col2
-        c1 = (x[1][2] * x[2][0] - x[2][2] * x[1][0],
-              x[2][2] * x[0][0] - x[0][2] * x[2][0],
-              x[0][2] * x[1][0] - x[1][2] * x[0][0])          # col2 x col0
-        c2 = (x[1][0] * x[2][1] - x[2][0] * x[1][1],
-              x[2][0] * x[0][1] - x[0][0] * x[2][1],
-              x[0][0] * x[1][1] - x[1][0] * x[0][1])          # col0 x col1
-        det = x[0][0] * c0[0] + x[1][0] * c0[1] + x[2][0] * c0[2]
-        cols = (c0, c1, c2)
-        x = [[0.5 * (x[i][j] + cols[j][i] / det) for j in range(3)]
-             for i in range(3)]
-    return jnp.stack([jnp.stack(row, axis=-1) for row in x], axis=-2)
+        x = x * g
+        cof = jnp.stack([col_cross(1, 2), col_cross(2, 0),
+                         col_cross(0, 1)])          # cof[j][i] = cofactor
+        det = (x[0, 0] * cof[0, 0] + x[1, 0] * cof[0, 1]
+               + x[2, 0] * cof[0, 2])
+        # X <- (X + X^-T)/2; (X^-T)[i, j] = cof[j][i] / det
+        inv_t = jnp.swapaxes(cof, 0, 1) / det
+        return 0.5 * (x + inv_t)
+
+    x0 = jnp.transpose(X, (1, 2, 0))                # (3, 3, B)
+    xf = jax.lax.fori_loop(0, 8, body, x0)
+    return jnp.transpose(xf, (2, 0, 1))
 
 
 def interpolate_motions(bones, motions, relations, weights, weights_indices,

@@ -57,13 +57,24 @@ class RasterConfig:
     max_tiles_per_gaussian: int = 16   # per-gaussian tile-rect clamp (D)
     chunk: int = 256                   # gaussians per DMA chunk in the kernel
     interpret: bool = False            # run the Pallas kernel interpreted
-    # dense tile slots per gaussian: bench scenes have <=4096 gaussians
-    # with rects over 4 tiles (the top-k continuation block covers those),
-    # and the emit-block size scales the sort input
+    # dense tile slots per gaussian: the emit-block size scales the sort
+    # input, so the dense block stays small and bigger rects ride the
+    # grant tiers below. Production paths CALIBRATE all of these from
+    # measured demand at evaluator build (renderer/calibrate.py) — the
+    # defaults only serve ad-hoc/rasterize() calls.
     small_tiles: int = 4
     max_large: int = 4096              # big-rect gaussians granted full rects
-    kernel: str = "wide"               # compositor: wide (8,128) | octet | fine
-    octet_groups: int = 4              # fine tiles per supertile row (octet)
+    # optional middle grant tier (binning.py three-tier emission): rects
+    # in (small_tiles, mid_tiles] are far more common than full-cap rects,
+    # so granting them a short continuation keeps the sort near demand
+    mid_tiles: int = 0                 # 0 = two-tier emission
+    max_mid: int = 0                   # gaussians granted the mid tier
+    # exact pair-buffer size; 0 = derive from max_pairs_factor * N
+    max_pairs_override: int = 0
+    # measure per-camera demand at evaluator build and size every budget
+    # (pair buffers, grant tiers, rect cap, dirty/mix budgets) from it
+    auto_budgets: bool = True
+    kernel: str = "wide"               # compositor: wide (8,128) | fine
     # fine-kernel budgets: (8,16)-px tiles multiply per-gaussian rect cells
     # vs the wide kernel's (8,128) tiles, so the dense slot block and the
     # big-rect grant are separate knobs (drops are loud either way)
@@ -103,9 +114,7 @@ def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
         # cross-backend tests are exact (gaussian tails beyond the 3-sigma
         # rect are a definitional cutoff of the rasterizer family; upstream
         # CUDA gates at 16x16, forward.cu:230-237 + config.h:15-16)
-        if config.kernel == "octet":
-            bin_w = TILE_W // config.octet_groups
-        elif config.kernel == "fine":
+        if config.kernel == "fine":
             from .binning_fine import FINE_W
             bin_w = FINE_W
         else:
@@ -199,21 +208,11 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
         return _rasterize_batch_fine(cam_w2c_list, scenes, sh_degree, bg,
                                      config, n_sup_x, n_sup_y,
                                      return_drops=return_drops)
-    octet = config.kernel == "octet"
-    if octet:
-        groups = int(config.octet_groups)
-        assert TILE_W % groups == 0
-        bin_w = TILE_W // groups
-        n_bin_x = n_sup_x * groups
-        # fine tiles multiply per-gaussian rects; scale the rect clamp so
-        # the same config stays exact on the same scene
-        max_tiles = config.max_tiles_per_gaussian * (groups + 1)
-    else:
-        groups = 1
-        bin_w = TILE_W
-        n_bin_x = n_sup_x
-        max_tiles = config.max_tiles_per_gaussian
-    max_pairs = int(config.max_pairs_factor * n * (1 + 0.5 * (groups > 1)))
+    bin_w = TILE_W
+    n_bin_x = n_sup_x
+    max_tiles = config.max_tiles_per_gaussian
+    max_pairs = (config.max_pairs_override
+                 or int(config.max_pairs_factor * n))
     max_pairs = -(-max_pairs // config.chunk) * config.chunk
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
 
@@ -227,7 +226,9 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
                                  max_pairs, max_tiles,
                                  small_tiles=config.small_tiles,
                                  max_large=config.max_large,
-                                 pack_payloads=config.pack_payloads)
+                                 pack_payloads=config.pack_payloads,
+                                 mid_tiles=config.mid_tiles,
+                                 max_mid=config.max_mid)
             data = gather_pair_table(pre, bins, n)
             return (data, bins["tile_starts"], bins["tile_ends"],
                     bins["n_large_dropped"])
@@ -252,16 +253,10 @@ def rasterize_batch(cam_w2c_list, scenes, sh_degree: int, bg=(0.0, 0.0, 0.0),
     starts = starts + inst_off
     ends = ends + inst_off
 
-    if octet:
-        from .octet_kernel import rasterize_octet_batch
-        rgb, depth = rasterize_octet_batch(
-            data, starts, ends, groups, n_sup_x, n_sup_y, bg=bg,
-            interpret=config.interpret)
-    else:
-        from .tile_kernel import rasterize_tiles_batch
-        rgb, depth = rasterize_tiles_batch(
-            data, starts, ends, n_sup_x, n_sup_y, chunk=config.chunk,
-            bg=bg, interpret=config.interpret)
+    from .tile_kernel import rasterize_tiles_batch
+    rgb, depth = rasterize_tiles_batch(
+        data, starts, ends, n_sup_x, n_sup_y, chunk=config.chunk,
+        bg=bg, interpret=config.interpret)
     n_cams = len(cam_w2c_list)
     rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(
         n_cams, B, 3, h, w)
@@ -404,14 +399,17 @@ def _composite_pallas(cam: Camera, pre: dict, bg: tuple,
     n = pre["xy"].shape[0]
     n_tiles_x = -(-w // TILE_W)
     n_tiles_y = -(-h // TILE_H)
-    max_pairs = int(config.max_pairs_factor * n)
+    max_pairs = (config.max_pairs_override
+                 or int(config.max_pairs_factor * n))
     max_pairs = -(-max_pairs // config.chunk) * config.chunk  # chunk-align
 
     bins = bin_gaussians(pre, n_tiles_x, n_tiles_y, TILE_W, TILE_H,
                          max_pairs, config.max_tiles_per_gaussian,
                          small_tiles=config.small_tiles,
                          max_large=config.max_large,
-                         pack_payloads=config.pack_payloads)
+                         pack_payloads=config.pack_payloads,
+                         mid_tiles=config.mid_tiles,
+                         max_mid=config.max_mid)
 
     # pre-gather sorted pair data:
     # [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth]

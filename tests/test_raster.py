@@ -168,13 +168,12 @@ class TestPallasBackendEquivalence:
         np.testing.assert_allclose(np.asarray(pal_depth), np.asarray(ref_depth),
                                    atol=1e-3)
 
-    @pytest.mark.parametrize("kernel,groups", [("wide", 1), ("octet", 4),
-                                               ("octet", 8), ("fine", 8)])
+    @pytest.mark.parametrize("kernel,groups", [("wide", 1), ("fine", 8)])
     def test_batched_instances_match_reference(self, kernel, groups):
         """rasterize_batch (one kernel over env x cam x tile) must agree
         with per-instance dense rendering — for the wide (8,128)
-        compositor, the multi-stream octet compositor, and the
-        MXU-assembled fine compositor (fine_kernel.py)."""
+        compositor and the MXU-assembled fine compositor
+        (fine_kernel.py)."""
         from real2sim_eval_tpu.renderer.raster import rasterize_batch
 
         rng = np.random.default_rng(7)
@@ -200,7 +199,7 @@ class TestPallasBackendEquivalence:
         }
         cfg = RasterConfig(backend="pallas", interpret=True,
                            max_pairs_factor=8.0, max_tiles_per_gaussian=16,
-                           kernel=kernel, octet_groups=groups,
+                           kernel=kernel,
                            pack_payloads=False,
                            # fine budgets sized so nothing clamps (clamped
                            # rects are budget drops the dense reference
@@ -216,8 +215,8 @@ class TestPallasBackendEquivalence:
                     cam, jnp.asarray(w2c_b[b]), scenes["means3D"][b],
                     scenes["scales"][b], scenes["rotations"][b],
                     scenes["opacities"][b], scenes["shs"][b], 0,
-                    config=RasterConfig(backend="reference", kernel=kernel,
-                                        octet_groups=groups))
+                    config=RasterConfig(backend="reference",
+                                        kernel=kernel))
                 np.testing.assert_allclose(
                     np.asarray(rgb[ci, b]),
                     np.asarray(jnp.clip(ref_rgb, 0.0, 1.0)), atol=2e-3)

@@ -94,6 +94,7 @@ def bin_gaussians(
     pack_payloads: bool = True,  # f16-pack 8 of the 10 sort payload lanes
     mid_tiles: int = 0,        # optional middle tier cap (0 = two-tier)
     max_mid: int = 0,          # gaussians granted slots [small, mid_tiles)
+    extra_lanes: list | None = None,  # extra (N,) per-gaussian sort payloads
 ):
     """Build depth-sorted per-tile gaussian pair tables.
 
@@ -112,6 +113,10 @@ def bin_gaussians(
       n_pairs: () i32 pairs that made it into the buffer
       n_pairs_unclamped: () i32 pairs before the capacity crop
       n_large_dropped: () i32 pairs dropped by the per-gaussian rect clamp
+      extra_sorted: (only when ``extra_lanes``) the extra per-gaussian
+        lanes duplicated per slot and sorted with the pairs — the diff
+        path rides the gaussian ID through here so backward can
+        segment-sum pair grads to gaussians without any inverse map
     """
     xy, radius, valid = pre["xy"], pre["radius"], pre["valid"]
     n = xy.shape[0]
@@ -151,6 +156,9 @@ def bin_gaussians(
     ], axis=-1).astype(jnp.float32)                             # (N, 10)
     pay_src = (pack_attr_lanes(attrs) if pack_payloads
                else [attrs[:, L] for L in range(N_PAY)])
+    n_attr_lanes = len(pay_src)
+    if extra_lanes:
+        pay_src = pay_src + [jnp.asarray(v) for v in extra_lanes]
     # binning-only per-gaussian quantities (ints < 2^24: exact in f32)
     aux = jnp.stack([
         x0.astype(jnp.float32), y0.astype(jnp.float32),
@@ -294,6 +302,8 @@ def bin_gaussians(
                              is_stable=False)
         key_s = out_a[0]
         lanes = list(out_a[1:]) + list(out_b[1:])
+    extra_s = lanes[n_attr_lanes:]
+    lanes = lanes[:n_attr_lanes]
 
     # 4. crop/pad to the static pair budget + tile ranges. Pad rows are
     # all-zero (dead opacity).
@@ -301,11 +311,13 @@ def bin_gaussians(
     if total >= max_pairs:
         key_s = key_s[:max_pairs]
         lanes = [v[:max_pairs] for v in lanes]
+        extra_s = [v[:max_pairs] for v in extra_s]
     else:
         pad = max_pairs - total
         key_s = jnp.pad(key_s, (0, pad),
                         constant_values=jnp.uint32(n_tiles << rank_bits))
         lanes = [jnp.pad(v, (0, pad)) for v in lanes]
+        extra_s = [jnp.pad(v, (0, pad)) for v in extra_s]
     tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
     if pack_payloads:
         lanes = unpack_attr_lanes(lanes)   # post-sort: back to 10 f32 lanes
@@ -324,7 +336,7 @@ def bin_gaussians(
     starts = bounds[:-1]
     ends = bounds[1:]
 
-    return {
+    out = {
         "pair_lanes": lanes,           # 10 (max_pairs,) sorted attr lanes
         "pair_tile": tiles_sorted,     # (max_pairs,) tile id per sorted pair
         "tile_starts": starts,
@@ -335,3 +347,6 @@ def bin_gaussians(
                             + jnp.maximum(n_emitted - max_pairs, 0)
                             ).astype(jnp.int32),
     }
+    if extra_lanes:
+        out["extra_sorted"] = extra_s
+    return out

@@ -18,9 +18,10 @@ Compositing semantics match renderCUDA (forward.cu:262-394):
     (forward.cu:309,369-373)
   - final color C + T * background (forward.cu:391)
 
-The renderer is forward-only: the reference wraps every render in
-``torch.no_grad`` (gs_renderer.py:923,952,1018), so the CUDA backward pass
-is dead weight we deliberately do not carry.
+The production compositors here are forward-only: the reference wraps
+every runtime render in ``torch.no_grad`` (gs_renderer.py:923,952,1018).
+Differentiable rendering (the capability backward.cu provides) lives in
+``renderer/diff.py`` — a custom-VJP path with a Pallas backward kernel.
 """
 
 from __future__ import annotations

@@ -42,7 +42,7 @@ def pack_pair_table(gathered: jax.Array) -> jax.Array:
 
 
 def _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
-                      rgb_ref, depth_ref):
+                      rgb_ref, depth_ref, t_ref=None):
     """Shared per-tile compositing loop: DMA chunks of the packed pair
     table and run the front-to-back blend over the [start, end) pair range,
     writing the (1, 3, H, W) rgb and (1, H, W) depth block refs."""
@@ -141,6 +141,11 @@ def _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
         rgb_ref[0, 1] = Cg + T * bg[1]
         rgb_ref[0, 2] = Cb + T * bg[2]
         depth_ref[0] = D
+        if t_ref is not None:
+            # final transmittance — the diff path's backward residual
+            # (backward.cu gets it as final_Ts; here it also recovers the
+            # bg-free color C_fin = rgb - T * bg outside the kernel)
+            t_ref[0] = T
 
     pl.run_scoped(
         scoped,
@@ -254,6 +259,72 @@ def rasterize_tiles_batch(data, tile_starts, tile_ends, n_tiles_x, n_tiles_y,
         interpret=interpret,
     )(tile_starts.reshape(-1), tile_ends.reshape(-1), data)
     return rgb, depth
+
+
+def _kernel_t(starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, t_ref, *,
+              n_tiles_x: int, n_tiles: int, chunk_rows: int, n_rows: int, bg):
+    """Forward compositor variant that also writes final transmittance
+    (the diff path's residual — see renderer/diff.py)."""
+    g = pl.program_id(0)
+    t = g % n_tiles
+    ty = t // n_tiles_x
+    tx = t % n_tiles_x
+    start = starts_ref[g]
+    end = ends_ref[g]
+    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          ).astype(jnp.float32)
+    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          ).astype(jnp.float32)
+    _composite_scoped(data_hbm, start, end, px, py, chunk_rows, n_rows, bg,
+                      rgb_ref, depth_ref, t_ref=t_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
+                                             "chunk", "bg", "interpret"))
+def rasterize_tiles_batch_t(data, tile_starts, tile_ends, n_tiles_x,
+                            n_tiles_y, chunk, bg, interpret=False):
+    """rasterize_tiles_batch + a (I, Hp, Wp) final-transmittance output."""
+    n_inst = tile_starts.shape[0]
+    n_rows = data.shape[0]
+    chunk_rows = max(chunk // GPR, 8)
+    if n_rows % chunk_rows:
+        data = jnp.pad(data, ((0, chunk_rows - n_rows % chunk_rows), (0, 0)))
+        n_rows = data.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y
+    h_pad = n_tiles_y * TILE_H
+    w_pad = n_tiles_x * TILE_W
+
+    kernel = functools.partial(_kernel_t, n_tiles_x=n_tiles_x,
+                               n_tiles=n_tiles, chunk_rows=chunk_rows,
+                               n_rows=n_rows, bg=bg)
+    hw_spec = pl.BlockSpec((1, TILE_H, TILE_W),
+                           lambda g, s, e: (g // n_tiles,
+                                            (g % n_tiles) // n_tiles_x,
+                                            g % n_tiles_x))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_inst * n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 3, TILE_H, TILE_W),
+                         lambda g, s, e: (g // n_tiles, 0,
+                                          (g % n_tiles) // n_tiles_x,
+                                          g % n_tiles_x)),
+            hw_spec,
+            hw_spec,
+        ],
+    )
+    rgb, depth, t_fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_inst, 3, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_inst, h_pad, w_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_starts.reshape(-1), tile_ends.reshape(-1), data)
+    return rgb, depth, t_fin
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",

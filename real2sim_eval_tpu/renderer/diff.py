@@ -335,15 +335,18 @@ def _composite_diff_fwd(xy, depth, conic, opacity, rgb, radius, validf,
         params.n_tiles_y, chunk=params.chunk, bg=params.bg,
         interpret=params.interpret)
     rgb_pad, depth_pad, tfin_pad = rgb_pad[0], depth_pad[0], tfin_pad[0]
+    # budget overflow would silently truncate BOTH the image and its
+    # gradients — surface it as a non-differentiated output
     out = (rgb_pad[:, :params.h, :params.w],
-           depth_pad[:params.h, :params.w])
+           depth_pad[:params.h, :params.w],
+           bins["n_large_dropped"])
     res = (data, ids_a, a_starts, a_ends, rgb_pad, tfin_pad)
     return out, res
 
 
 def _composite_diff_bwd(params: _DiffParams, res, cots):
     data, ids_a, a_starts, a_ends, rgb_pad, tfin_pad = res
-    g_rgb, g_depth = cots
+    g_rgb, g_depth, _ = cots    # drop count: integer output, no cotangent
     hp = params.n_tiles_y * TILE_H
     wp = params.n_tiles_x * TILE_W
     dlc = jnp.zeros((3, hp, wp), jnp.float32).at[
@@ -381,7 +384,8 @@ _composite_diff.defvjp(_composite_diff_fwd, _composite_diff_bwd)
 
 def rasterize_diff(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
                    sh_degree: int, bg=(0.0, 0.0, 0.0),
-                   config: RasterConfig = RasterConfig()):
+                   config: RasterConfig = RasterConfig(),
+                   return_drops: bool = False):
     """Differentiable render of one camera: (rgb (3,H,W), depth (H,W)).
 
     Pixel-identical to ``rasterize`` with the wide pallas backend (same
@@ -391,7 +395,12 @@ def rasterize_diff(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
     per call; gradients for radius/sort-order are zero (measure-zero
     nondifferentiable, as upstream). NOTE: the output rgb is NOT clipped
     to [0,1] (clipping is the caller's loss-side choice; the reference
-    clamps in gs_renderer, not in the rasterizer)."""
+    clamps in gs_renderer, not in the rasterizer).
+
+    With ``return_drops`` also returns the binning drop count (() i32):
+    a nonzero value means the pair budget truncated BOTH the image and
+    its gradients — raise ``config.max_pairs_factor`` (training loops
+    should assert on this once per scene scale, not every step)."""
     pre = preprocess_gaussians(cam, w2c, means3d, scales, quats, opacities,
                                shs, sh_degree)
     n = means3d.shape[0]
@@ -406,7 +415,9 @@ def rasterize_diff(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
         small_tiles=config.small_tiles, max_large=config.max_large,
         chunk=chunk, bg=tuple(float(b) for b in np.asarray(bg).reshape(-1)),
         interpret=config.interpret)
-    return _composite_diff(pre["xy"], pre["depth"], pre["conic"],
-                           pre["opacity"].reshape(-1), pre["rgb"],
-                           pre["radius"], pre["valid"].astype(jnp.float32),
-                           params)
+    rgb_img, depth_img, drops = _composite_diff(
+        pre["xy"], pre["depth"], pre["conic"], pre["opacity"].reshape(-1),
+        pre["rgb"], pre["radius"], pre["valid"].astype(jnp.float32), params)
+    if return_drops:
+        return rgb_img, depth_img, drops
+    return rgb_img, depth_img

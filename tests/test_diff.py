@@ -63,6 +63,21 @@ class TestDiffForward:
         np.testing.assert_allclose(dep_p, dep_d, atol=2e-5)
 
 
+class TestDiffDrops:
+    def test_drop_counter(self, rng):
+        cam = small_cam()
+        w2c = jnp.eye(4)
+        scene = make_scene(rng)
+        _, _, d0 = rasterize_diff(cam, w2c, *scene, 0, config=CFG,
+                                  return_drops=True)
+        assert int(d0) == 0
+        starved = RasterConfig(interpret=True, max_pairs_override=8,
+                               small_tiles=1, max_tiles_per_gaussian=1)
+        _, _, d1 = rasterize_diff(cam, w2c, *scene, 0, config=starved,
+                                  return_drops=True)
+        assert int(d1) > 0
+
+
 class TestDiffGradients:
     def _compare(self, rng, scene, bg=(0.05, 0.0, 0.1), rtol=2e-3,
                  atol=None):

@@ -108,12 +108,14 @@ class TestDiffGradients:
     def test_grads_match_dense(self, rng):
         self._compare(rng, make_scene(rng))
 
+    @pytest.mark.slow
     def test_grads_opaque_early_termination(self, rng):
         # near-opaque stacked splats drive pixels through the T<1e-4
         # freeze and the 0.99 alpha clamp — the gated-subgradient paths
         scene = make_scene(rng, n=80, opac_range=(0.95, 1.0))
         self._compare(rng, scene)
 
+    @pytest.mark.slow
     def test_finite_difference_opacity(self, rng):
         cam = small_cam()
         w2c = jnp.eye(4)

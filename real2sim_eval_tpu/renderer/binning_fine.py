@@ -111,6 +111,12 @@ def bin_gaussians_fine(
                    jnp.maximum(y1 - 1, y0))
     x0c = jnp.clip(cxt - (w1 - 1) // 2, x0, x1 - w1)
     y0c = jnp.clip(cyt - (h1 - 1) // 2, y0, y1 - h1)
+    # emission gates on area1 ONLY, so it must carry the valid mask itself:
+    # an invalid gaussian (near-culled but projecting in-image, or det<=0)
+    # has a 1x1 tile rect, and an unmasked slot would enter the sorted
+    # stream while the analytic counts (Ay carries okf) exclude it —
+    # shifting every later tile's stream bounds off by one
+    area1 = jnp.where(valid, area1, 0)
     n_rect_dropped = jnp.sum(jnp.where(valid, area - area1, 0))
 
     # analytic per-tile counts: one 0/1 indicator contraction on the MXU

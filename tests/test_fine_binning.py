@@ -81,3 +81,32 @@ def test_pair_budget_crop_counted():
     assert (np.asarray(bins["fine_ends"]) <= 64).all()
     assert (np.asarray(bins["fine_starts"])
             <= np.asarray(bins["fine_ends"])).all()
+
+
+def test_invalid_gaussians_do_not_shift_streams():
+    """Regression: a near-culled gaussian (z < z_threshold) whose 1x1 tile
+    rect projects in-image must NOT enter the sorted stream — the analytic
+    counts exclude invalid gaussians, so an unmasked emission would shift
+    every later tile's bounds off by one."""
+    cam, pre, n = scene(7)
+    import jax.numpy as jnp
+    # forge a handful of invalid-but-in-image gaussians: valid=False with a
+    # finite xy and a nonzero 1x1 rect footprint (radius floor 1 px)
+    pre = dict(pre)
+    bad = jnp.zeros((n,), bool).at[jnp.arange(5)].set(True)
+    pre["valid"] = pre["valid"] & ~bad
+    pre["xy"] = jnp.where(bad[:, None],
+                          jnp.asarray([[40.0, 20.0]]), pre["xy"])
+    pre["radius"] = jnp.where(bad, 1.0, pre["radius"])
+    pre["depth"] = jnp.where(bad, 0.01, pre["depth"])
+    nsx, nsy = 2, 8
+    n_fine = nsx * GROUPS * nsy
+    bins = bin_gaussians_fine(pre, nsx, nsy, max_pairs=16384,
+                              small_tiles=6, max_tiles_per_gaussian=128,
+                              max_large=n, pack_payloads=False)
+    tiles = np.asarray(bins["pair_tile"])
+    starts_ref = np.searchsorted(tiles, np.arange(n_fine), side="left")
+    ends_ref = np.searchsorted(tiles, np.arange(n_fine), side="right")
+    np.testing.assert_array_equal(np.asarray(bins["fine_starts"]),
+                                  starts_ref)
+    np.testing.assert_array_equal(np.asarray(bins["fine_ends"]), ends_ref)

@@ -70,7 +70,7 @@ def refine(params: dict, ks, w2cs, images, attrs=("colors", "opacities"),
     import optax
 
     from ...renderer.camera import Camera
-    from ...renderer.diff import rasterize_diff
+    from ...renderer.diff import rasterize_diff, rasterize_diff_views
     from ...renderer.raster import RasterConfig
 
     def sh_colors_to_coeffs(sh):
@@ -99,6 +99,11 @@ def refine(params: dict, ks, w2cs, images, attrs=("colors", "opacities"),
     frozen = {k: jnp.asarray(v) for k, v in params.items()
               if k not in train_keys}
 
+    # scans come from ONE physical camera, so views almost always share
+    # intrinsics — then all C views ride a single compositor launch
+    # (rasterize_diff_views); per-view intrinsics fall back to a loop
+    shared_cam = all(c == cams[0] for c in cams[1:])
+
     def render_all(tr):
         p = {**frozen, **tr}
         means = p["means3D"]
@@ -106,6 +111,11 @@ def refine(params: dict, ks, w2cs, images, attrs=("colors", "opacities"),
         quats = p["unnorm_rotations"]
         opac = jax.nn.sigmoid(p["logit_opacities"]).reshape(-1)
         shs = sh_colors_to_coeffs(p["sh_colors"])
+        if shared_cam:
+            rgb, _ = rasterize_diff_views(cams[0], w2cs, means, scales,
+                                          quats, opac, shs, sh_degree,
+                                          bg=bg, config=cfg)
+            return jnp.clip(rgb, 0.0, 1.0)
         outs = []
         for cam, w2c in zip(cams, w2cs):
             rgb, _ = rasterize_diff(cam, w2c, means, scales, quats, opac,

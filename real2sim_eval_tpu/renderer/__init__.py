@@ -10,6 +10,12 @@ def rasterize_diff(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def rasterize_diff_views(*args, **kwargs):
+    """Multi-view differentiable rasterization (renderer/diff.py)."""
+    from .diff import rasterize_diff_views as _impl
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "Camera",
     "setup_camera",
@@ -17,6 +23,7 @@ __all__ = [
     "Rt_to_w2c",
     "rasterize",
     "rasterize_diff",
+    "rasterize_diff_views",
     "RasterConfig",
     "GSRenderer",
 ]

@@ -124,14 +124,16 @@ def _align_pairs(bins, params: _DiffParams):
 
 def _bwd_kernel(starts_ref, ends_ref, data_hbm, dlc_ref, dld_ref, cfin_ref,
                 tfin_ref, grad_init_hbm, grad_hbm, *, n_tiles_x: int,
-                chunk_rows: int, n_rows: int, bg):
-    """Per-tile gradient re-walk. Program g owns tile g's chunk-aligned
-    pair rows exclusively; unprocessed chunks keep the aliased zero init
-    (early termination = provably zero gradients downstream)."""
+                n_tiles: int, chunk_rows: int, n_rows: int, bg):
+    """Per-(instance, tile) gradient re-walk. Program g owns its tile's
+    chunk-aligned pair rows exclusively (starts/ends are GLOBAL row
+    offsets across instances); unprocessed chunks keep the aliased zero
+    init (early termination = provably zero gradients downstream)."""
     del grad_init_hbm                  # alias source; never read in-kernel
     g = pl.program_id(0)
-    ty = g // n_tiles_x
-    tx = g % n_tiles_x
+    t = g % n_tiles
+    ty = t // n_tiles_x
+    tx = t % n_tiles_x
     start = starts_ref[g]
     end = ends_ref[g]
     chunk_g = chunk_rows * GPR
@@ -270,25 +272,32 @@ def _bwd_kernel(starts_ref, ends_ref, data_hbm, dlc_ref, dld_ref, cfin_ref,
 
 def _bwd_pairs(data, a_starts, a_ends, dlc_pad, dld_pad, cfin_pad, tfin_pad,
                params: _DiffParams):
-    """Run the backward kernel; returns the (rows, 128) pair-grad table."""
+    """Run the backward kernel over (I, n_tiles) programs; returns the
+    (rows, 128) pair-grad table. dlc/dld/cfin/tfin are (I, ...) padded
+    frames; a_starts/a_ends are (I * n_tiles,) GLOBAL row offsets."""
     n_tiles = params.n_tiles_x * params.n_tiles_y
+    n_inst = dlc_pad.shape[0]
     chunk_rows = max(params.chunk // GPR, 8)
     n_rows = data.shape[0]
     if n_rows % chunk_rows:
         data = jnp.pad(data, ((0, chunk_rows - n_rows % chunk_rows), (0, 0)))
         n_rows = data.shape[0]
     kernel = functools.partial(_bwd_kernel, n_tiles_x=params.n_tiles_x,
-                               chunk_rows=chunk_rows, n_rows=n_rows,
-                               bg=params.bg)
+                               n_tiles=n_tiles, chunk_rows=chunk_rows,
+                               n_rows=n_rows, bg=params.bg)
     rgb_spec = pl.BlockSpec(
         (1, 3, TILE_H, TILE_W),
-        lambda g, s, e: (0, 0, g // params.n_tiles_x, g % params.n_tiles_x))
+        lambda g, s, e: (g // n_tiles, 0,
+                         (g % n_tiles) // params.n_tiles_x,
+                         g % params.n_tiles_x))
     hw_spec = pl.BlockSpec(
         (1, TILE_H, TILE_W),
-        lambda g, s, e: (0, g // params.n_tiles_x, g % params.n_tiles_x))
+        lambda g, s, e: (g // n_tiles,
+                         (g % n_tiles) // params.n_tiles_x,
+                         g % params.n_tiles_x))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_inst * n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), rgb_spec, hw_spec,
                   rgb_spec, hw_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -301,8 +310,8 @@ def _bwd_pairs(data, a_starts, a_ends, dlc_pad, dld_pad, cfin_pad, tfin_pad,
         # grads (operand numbering includes the 2 scalar-prefetch args)
         input_output_aliases={7: 0},
         interpret=params.interpret,
-    )(a_starts, a_ends, data, dlc_pad[None], dld_pad[None], cfin_pad[None],
-      tfin_pad[None], jnp.zeros((n_rows, GPR * ATTR), jnp.float32))[0]
+    )(a_starts, a_ends, data, dlc_pad, dld_pad, cfin_pad, tfin_pad,
+      jnp.zeros((n_rows, GPR * ATTR), jnp.float32))[0]
     return grads
 
 
@@ -314,6 +323,9 @@ def _bwd_pairs(data, a_starts, a_ends, dlc_pad, dld_pad, cfin_pad, tfin_pad,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _composite_diff(xy, depth, conic, opacity, rgb, radius, validf,
                     params: _DiffParams):
+    """Multi-instance diff compositor: every per-gaussian input is stacked
+    (I, N, ...) — one row per camera/view instance — and the outputs are
+    (I, 3, H, W) rgb, (I, H, W) depth, (I,) drops."""
     out, _ = _composite_diff_fwd(xy, depth, conic, opacity, rgb, radius,
                                  validf, params)
     return out
@@ -321,25 +333,38 @@ def _composite_diff(xy, depth, conic, opacity, rgb, radius, validf,
 
 def _composite_diff_fwd(xy, depth, conic, opacity, rgb, radius, validf,
                         params: _DiffParams):
-    pre = {"xy": xy, "depth": depth, "conic": conic, "opacity": opacity,
-           "rgb": rgb, "radius": radius, "valid": validf > 0.5}
+    n_inst = xy.shape[0]
     ids = jnp.arange(params.n, dtype=jnp.int32)
-    bins = bin_gaussians(pre, params.n_tiles_x, params.n_tiles_y, TILE_W,
-                         TILE_H, params.max_pairs, params.max_tiles,
-                         small_tiles=params.small_tiles,
-                         max_large=params.max_large,
-                         pack_payloads=False, extra_lanes=[ids])
-    data, ids_a, a_starts, a_ends, _ = _align_pairs(bins, params)
+    datas, ids_l, starts_l, ends_l, drops_l = [], [], [], [], []
+    for i in range(n_inst):
+        pre = {"xy": xy[i], "depth": depth[i], "conic": conic[i],
+               "opacity": opacity[i], "rgb": rgb[i], "radius": radius[i],
+               "valid": validf[i] > 0.5}
+        bins = bin_gaussians(pre, params.n_tiles_x, params.n_tiles_y,
+                             TILE_W, TILE_H, params.max_pairs,
+                             params.max_tiles,
+                             small_tiles=params.small_tiles,
+                             max_large=params.max_large,
+                             pack_payloads=False, extra_lanes=[ids])
+        data_i, ids_i, st_i, en_i, p_a = _align_pairs(bins, params)
+        pair_off = i * p_a
+        datas.append(data_i)
+        ids_l.append(ids_i)
+        starts_l.append(st_i + pair_off)
+        ends_l.append(en_i + pair_off)
+        drops_l.append(bins["n_large_dropped"])
+    data = jnp.concatenate(datas, axis=0)
+    ids_a = jnp.stack(ids_l)                         # (I, p_a)
+    a_starts = jnp.stack(starts_l)                   # (I, n_tiles)
+    a_ends = jnp.stack(ends_l)
     rgb_pad, depth_pad, tfin_pad = rasterize_tiles_batch_t(
-        data, a_starts[None], a_ends[None], params.n_tiles_x,
-        params.n_tiles_y, chunk=params.chunk, bg=params.bg,
-        interpret=params.interpret)
-    rgb_pad, depth_pad, tfin_pad = rgb_pad[0], depth_pad[0], tfin_pad[0]
+        data, a_starts, a_ends, params.n_tiles_x, params.n_tiles_y,
+        chunk=params.chunk, bg=params.bg, interpret=params.interpret)
     # budget overflow would silently truncate BOTH the image and its
     # gradients — surface it as a non-differentiated output
-    out = (rgb_pad[:, :params.h, :params.w],
-           depth_pad[:params.h, :params.w],
-           bins["n_large_dropped"])
+    out = (rgb_pad[:, :, :params.h, :params.w],
+           depth_pad[:, :params.h, :params.w],
+           jnp.stack(drops_l))
     res = (data, ids_a, a_starts, a_ends, rgb_pad, tfin_pad)
     return out, res
 
@@ -347,23 +372,27 @@ def _composite_diff_fwd(xy, depth, conic, opacity, rgb, radius, validf,
 def _composite_diff_bwd(params: _DiffParams, res, cots):
     data, ids_a, a_starts, a_ends, rgb_pad, tfin_pad = res
     g_rgb, g_depth, _ = cots    # drop count: integer output, no cotangent
+    n_inst = ids_a.shape[0]
+    p_a = ids_a.shape[1]
     hp = params.n_tiles_y * TILE_H
     wp = params.n_tiles_x * TILE_W
-    dlc = jnp.zeros((3, hp, wp), jnp.float32).at[
-        :, :params.h, :params.w].set(g_rgb)
-    dld = jnp.zeros((hp, wp), jnp.float32).at[
-        :params.h, :params.w].set(g_depth)
-    bg_arr = jnp.asarray(params.bg, jnp.float32).reshape(3, 1, 1)
-    cfin = rgb_pad - tfin_pad[None] * bg_arr
+    dlc = jnp.zeros((n_inst, 3, hp, wp), jnp.float32).at[
+        :, :, :params.h, :params.w].set(g_rgb)
+    dld = jnp.zeros((n_inst, hp, wp), jnp.float32).at[
+        :, :params.h, :params.w].set(g_depth)
+    bg_arr = jnp.asarray(params.bg, jnp.float32).reshape(1, 3, 1, 1)
+    cfin = rgb_pad - tfin_pad[:, None] * bg_arr
 
-    grads = _bwd_pairs(data, a_starts, a_ends, dlc, dld, cfin, tfin_pad,
-                       params)
-    p_rows = ids_a.shape[0] // GPR
-    per_pair = grads[:p_rows].reshape(p_rows, GPR, ATTR).reshape(-1, ATTR)
+    grads = _bwd_pairs(data, a_starts.reshape(-1), a_ends.reshape(-1),
+                       dlc, dld, cfin, tfin_pad, params)
+    per_pair = grads[:n_inst * (p_a // GPR)].reshape(
+        n_inst, p_a // GPR, GPR, ATTR).reshape(n_inst, p_a, ATTR)
 
     def seg(col):
-        return jnp.zeros((params.n,), jnp.float32).at[ids_a].add(
-            per_pair[:, col], mode="drop")
+        def one(ids_i, vals_i):
+            return jnp.zeros((params.n,), jnp.float32).at[ids_i].add(
+                vals_i, mode="drop")
+        return jax.vmap(one)(ids_a, per_pair[:, :, col])     # (I, N)
 
     g_xy = jnp.stack([seg(0), seg(1)], axis=-1)
     g_conic = jnp.stack([seg(2), seg(3), seg(4)], axis=-1)
@@ -416,8 +445,48 @@ def rasterize_diff(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
         chunk=chunk, bg=tuple(float(b) for b in np.asarray(bg).reshape(-1)),
         interpret=config.interpret)
     rgb_img, depth_img, drops = _composite_diff(
-        pre["xy"], pre["depth"], pre["conic"], pre["opacity"].reshape(-1),
-        pre["rgb"], pre["radius"], pre["valid"].astype(jnp.float32), params)
+        pre["xy"][None], pre["depth"][None], pre["conic"][None],
+        pre["opacity"].reshape(-1)[None], pre["rgb"][None],
+        pre["radius"][None], pre["valid"].astype(jnp.float32)[None], params)
+    if return_drops:
+        return rgb_img[0], depth_img[0], drops[0]
+    return rgb_img[0], depth_img[0]
+
+
+def rasterize_diff_views(cam: Camera, w2cs, means3d, scales, quats,
+                         opacities, shs, sh_degree: int, bg=(0.0, 0.0, 0.0),
+                         config: RasterConfig = RasterConfig(),
+                         return_drops: bool = False):
+    """Differentiable render of ONE scene from C views in one compositor
+    launch: (rgb (C,3,H,W), depth (C,H,W)[, drops (C,)]).
+
+    The multi-view analogue of ``rasterize_diff`` for fitting loops
+    (experiments/utils/refine_gs.py): preprocess vmaps over w2c, all C
+    pair tables ride one forward kernel and one backward grid, and the
+    per-view gradients sum into the shared scene params through the
+    vmapped preprocess VJP. All views share the camera intrinsics/size."""
+    n = means3d.shape[0]
+
+    def pre_one(w2c):
+        return preprocess_gaussians(cam, w2c, means3d, scales, quats,
+                                    opacities, shs, sh_degree)
+
+    pre = jax.vmap(pre_one)(jnp.asarray(w2cs, jnp.float32))
+    max_pairs = (config.max_pairs_override
+                 or int(config.max_pairs_factor * n))
+    chunk = min(config.chunk, 64)
+    max_pairs = -(-max_pairs // chunk) * chunk
+    params = _DiffParams(
+        h=cam.height, w=cam.width,
+        n_tiles_x=-(-cam.width // TILE_W), n_tiles_y=-(-cam.height // TILE_H),
+        n=n, max_pairs=max_pairs, max_tiles=config.max_tiles_per_gaussian,
+        small_tiles=config.small_tiles, max_large=config.max_large,
+        chunk=chunk, bg=tuple(float(b) for b in np.asarray(bg).reshape(-1)),
+        interpret=config.interpret)
+    rgb_img, depth_img, drops = _composite_diff(
+        pre["xy"], pre["depth"], pre["conic"],
+        pre["opacity"].reshape(pre["xy"].shape[0], -1), pre["rgb"],
+        pre["radius"], pre["valid"].astype(jnp.float32), params)
     if return_drops:
         return rgb_img, depth_img, drops
     return rgb_img, depth_img

@@ -390,6 +390,25 @@ def run_config(args, n_table: int, headline: bool):
     print(json.dumps(result), flush=True)
 
 
+def check_backend_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the default jax platform in a SUBPROCESS: when the TPU
+    tunnel is down, in-process ``jax.devices()`` hangs forever (no
+    exception), which would turn the driver's bench run into a silent
+    timeout instead of a recorded diagnostic."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0 and bool(r.stdout.strip())
+    except Exception:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     global KERNEL
@@ -407,6 +426,15 @@ def main():
                          "is the headline, VERDICT round-2 item 4)")
     args = ap.parse_args()
     KERNEL = args.kernel
+
+    if not check_backend_alive():
+        print(json.dumps({
+            "metric": "combined_step_render_env_steps_per_s",
+            "value": 0,
+            "unit": "BACKEND UNAVAILABLE: default jax platform hung at "
+                    "init (TPU tunnel down) — no measurement taken",
+            "vs_baseline": 0.0}), flush=True)
+        sys.exit(1)
 
     if args.gaussians or args.check:
         # sweeps and the cross-backend check run one explicit size

@@ -400,7 +400,6 @@ class BatchedEvaluator:
         t_budget, p_mix = rcfg.dirty_budget, rcfg.mix_pairs
         dyn0 = None
         calibrating = (rcfg.auto_budgets and raster_backend == "pallas"
-                       and rcfg.kernel == "wide"
                        and (fixed_cams or wrist_cams))
         if calibrating:
             from ..renderer import calibrate as cal
@@ -417,17 +416,26 @@ class BatchedEvaluator:
             flist0 = [(cam, jnp.broadcast_to(
                 jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))
                 for cam, w2c in fixed_cams]
+            def plan_family(cam_list):
+                """Calibrate one full-pipeline family for rcfg's kernel:
+                the wide and fine compositors bin at different tile dims
+                and read different budget knobs."""
+                if rcfg.kernel == "fine":
+                    from ..renderer.binning_fine import FINE_H, FINE_W
+                    dem = cal.measure_demand(
+                        cam_list, scenes0, sh_deg, FINE_W, FINE_H,
+                        rcfg.fine_small_tiles, rcfg.fine_small_tiles,
+                        rcfg.fine_max_tiles)
+                    return cal.plan_config_fine(rcfg, dem, n_all)
+                dem = cal.measure_demand(cam_list, scenes0, sh_deg,
+                                         TILE_W, TILE_H, 4, 8, 16)
+                return cal.plan_config(rcfg, dem, n_all, rcfg.chunk,
+                                       4, 8, 16)
+
             if wlist0:
-                dem_w = cal.measure_demand(wlist0, scenes0, sh_deg,
-                                           TILE_W, TILE_H, 4, 8, 16)
-                rcfg_wrist = cal.plan_config(rcfg, dem_w, n_all, rcfg.chunk,
-                                             4, 8, 16)
+                rcfg_wrist = plan_family(wlist0)
             if not use_incremental and (fixed_cams or wrist_cams):
-                dem_all = cal.measure_demand(flist0 + wlist0, scenes0,
-                                             sh_deg, TILE_W, TILE_H,
-                                             4, 8, 16)
-                rcfg_mixed = cal.plan_config(rcfg, dem_all, n_all,
-                                             rcfg.chunk, 4, 8, 16)
+                rcfg_mixed = plan_family(flist0 + wlist0)
             if use_incremental:
                 dyn0, _ = jax.jit(jax.vmap(compose_dyn))(
                     st0.rel_pose, st0.sm.x, st0.grippers, st0.qpos7)

@@ -120,6 +120,32 @@ def plan_config(config, demand: DemandStats, n: int, chunk_align: int,
     )
 
 
+def plan_config_fine(config, demand: DemandStats, n: int):
+    """Budget-calibrated copy of ``config`` for the FINE-kernel pipeline.
+
+    Fine binning (binning_fine.py) is two-tier (dense block + one big-rect
+    grant) with a centered-rect clamp, so the knobs are the fine pair
+    buffer, the grant count, and the fine rect cap. Demand must be
+    measured with the fine tile dims (16x8) and the fine small/cap knobs.
+    """
+    from .fine_kernel import GPR
+
+    max_pairs = _round_up(max(demand.pairs * PAIR_MARGIN, 64), GPR)
+    max_large = min(_round_up(demand.n_gt_small * GRANT_MARGIN + 128, 128),
+                    n)
+    # the emit block for the granted tier is (cap - small, k_large) wide,
+    # so the cap stays bounded; overflow is loud through n_large_dropped
+    cap = config.fine_max_tiles
+    cap_eff = cap if demand.max_rect <= cap else min(
+        _round_up(demand.max_rect * 1.3, 16), 1024)
+    return dataclasses.replace(
+        config,
+        fine_pairs_override=max_pairs,
+        max_large=max_large,
+        fine_max_tiles=cap_eff,
+    )
+
+
 def plan_mix_budgets(static_rasters, dyn_demand_pairs: int,
                      n_dirty: int, mix_demand: int):
     """(t_budget, p_mix) for the incremental merge from measured demand."""

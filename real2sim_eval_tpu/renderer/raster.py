@@ -82,6 +82,9 @@ class RasterConfig:
     fine_small_tiles: int = 6
     fine_max_tiles: int = 32
     fine_pairs_factor: float = 5.0     # fine pair buffer = factor * N
+    # exact fine pair-buffer size; 0 = derive from fine_pairs_factor * N.
+    # Set by calibrate.plan_config_fine from measured demand.
+    fine_pairs_override: int = 0
     # f16-pack 8 of the 10 sort payload lanes (x/y stay f32): ~40% less
     # sort work for ~5e-4 relative attr quantization — well inside the
     # 1/255 rgb / 1e-2 depth pixel tolerance. Exactness tests disable it.
@@ -280,7 +283,8 @@ def _rasterize_batch_fine(cam_w2c_list, scenes, sh_degree, bg, config,
     B = scenes["means3D"].shape[0]
     n = scenes["means3D"].shape[1]
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
-    max_pairs = int(config.fine_pairs_factor * n)
+    max_pairs = (config.fine_pairs_override
+                 or int(config.fine_pairs_factor * n))
     max_pairs = -(-max_pairs // GPR) * GPR
     shs = scenes["shs"] if sh_degree > 0 else scenes["shs"][:, :, :1]
 

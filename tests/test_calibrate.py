@@ -129,6 +129,55 @@ def test_plan_config_covers_demand():
     assert int(bins["n_pairs"]) <= cfg.max_pairs_override
 
 
+def test_plan_config_fine_covers_demand():
+    """Fine-kernel budgets planned from fine-tile demand produce
+    zero-drop binning (the honest-A/B prerequisite: the wide kernel is
+    calibrated at evaluator build, so the fine kernel must be too)."""
+    from real2sim_eval_tpu.renderer.binning_fine import (FINE_H, FINE_W,
+                                                         bin_gaussians_fine)
+
+    cam, pre, n = scene(5)
+    rng = np.random.default_rng(5)
+    means = np.stack([rng.uniform(-1.2, 1.2, n),
+                      rng.uniform(-0.5, 0.5, n),
+                      rng.uniform(0.3, 3.0, n)], -1)
+    scales = rng.uniform(0.01, 0.12, (n, 3))
+    q = rng.normal(size=(n, 4))
+    quats = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    scenes = {
+        "means3D": jnp.asarray(means[None], jnp.float32),
+        "scales": jnp.asarray(scales[None], jnp.float32),
+        "rotations": jnp.asarray(quats[None], jnp.float32),
+        "opacities": jnp.asarray(rng.uniform(0.3, 1.0, (1, n)),
+                                 jnp.float32),
+        "shs": jnp.asarray(rng.uniform(-0.5, 0.5, (1, n, 1, 3)),
+                           jnp.float32),
+    }
+    base = RasterConfig(kernel="fine")
+    dem = cal.measure_demand([(cam, jnp.eye(4)[None])], scenes, 0,
+                             FINE_W, FINE_H, base.fine_small_tiles,
+                             base.fine_small_tiles, base.fine_max_tiles)
+    assert dem.pairs > 0
+    cfg = cal.plan_config_fine(base, dem, n)
+    assert cfg.fine_pairs_override >= dem.pairs
+    assert cfg.fine_pairs_override % 8 == 0
+    if dem.max_rect > base.fine_max_tiles:
+        assert cfg.fine_max_tiles >= min(dem.max_rect, 1024)
+    # preprocess at the FINE camera and bin under the planned budgets:
+    # drops must be zero and the pair total within the planned buffer
+    n_fine_x = -(-cam.width // FINE_W)
+    n_sup_y = -(-cam.height // FINE_H)
+    assert n_fine_x % 8 == 0
+    bins = bin_gaussians_fine(pre, n_fine_x // 8, n_sup_y,
+                              cfg.fine_pairs_override,
+                              small_tiles=cfg.fine_small_tiles,
+                              max_tiles_per_gaussian=cfg.fine_max_tiles,
+                              max_large=cfg.max_large,
+                              pack_payloads=False)
+    assert int(bins["n_large_dropped"]) == 0
+    assert int(bins["n_pairs"]) <= cfg.fine_pairs_override
+
+
 def test_plan_mix_budgets_cover():
     t, p = cal.plan_mix_budgets(None, dyn_demand_pairs=3000, n_dirty=20,
                                 mix_demand=26447)

@@ -64,6 +64,7 @@ class TestDiffForward:
 
 
 class TestDiffDrops:
+    @pytest.mark.slow
     def test_drop_counter(self, rng):
         cam = small_cam()
         w2c = jnp.eye(4)
@@ -105,6 +106,13 @@ class TestDiffGradients:
             np.testing.assert_allclose(a, b, rtol=rtol, atol=tol,
                                        err_msg=f"grad mismatch: {name}")
 
+    def test_grads_match_dense_small(self, rng):
+        # fast-lane smoke: a handful of splats still walks every backward
+        # path (prefix/suffix re-walk, depth term, bg term); the full-size
+        # comparison rides the slow lane
+        self._compare(rng, make_scene(rng, n=10))
+
+    @pytest.mark.slow
     def test_grads_match_dense(self, rng):
         self._compare(rng, make_scene(rng))
 
@@ -136,6 +144,7 @@ class TestDiffGradients:
             fd = (lp - lm) / (2 * eps)
             np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=1e-3)
 
+    @pytest.mark.slow
     def test_depth_grad_selects_crossing_pair(self, rng):
         # one opaque splat in front of another: the median-depth gradient
         # must land ONLY on the front (T=0.5-crossing) gaussian

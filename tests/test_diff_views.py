@@ -5,6 +5,7 @@ pixels and scene-parameter gradients (which sum over views)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from real2sim_eval_tpu.renderer.diff import rasterize_diff, rasterize_diff_views
 from test_diff import CFG, loss_weights, make_scene, small_cam
@@ -34,6 +35,7 @@ def test_views_forward_matches_per_view(rng):
         np.testing.assert_allclose(dep_b[i], dep_i, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_views_grads_sum_over_views(rng):
     cam = small_cam()
     scene = make_scene(rng, n=40)

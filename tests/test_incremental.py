@@ -19,7 +19,7 @@ from real2sim_eval_tpu.renderer.incremental import (build_static_raster,
                                                     render_incremental)
 from real2sim_eval_tpu.renderer.raster import RasterConfig, rasterize_batch
 
-H, W = 64, 256
+H, W = 64, 128
 
 
 def _cam():
@@ -47,14 +47,16 @@ def _gaussians(rng, n, center, spread, scale=0.02):
 def scene():
     rng = np.random.default_rng(3)
     cam, w2c = _cam()
-    static = _gaussians(rng, 600, np.array([0.0, 0.0, 0.3]), 0.45)
+    static = _gaussians(rng, 400, np.array([0.0, 0.0, 0.3]), 0.45)
     B = 3
     dyn = {k: jnp.stack([v] * B) for k, v in
-           _gaussians(rng, 40, np.array([0.15, 0.0, 0.1]), 0.05).items()}
-    # env-varying dynamic positions (distinct dirty tiles per env)
+           _gaussians(rng, 40, np.array([0.05, 0.0, 0.1]), 0.05).items()}
+    # env-varying dynamic positions (distinct dirty tiles per env; shifts
+    # spread in y too — wide tiles are 8px rows, so vertical spread is
+    # what multiplies dirty-tile counts at this width)
     shift = jnp.asarray(np.stack([np.array([0.0, 0.0, 0.0]),
-                                  np.array([-0.3, 0.05, 0.0]),
-                                  np.array([0.25, -0.08, 0.05])],
+                                  np.array([-0.15, 0.2, 0.0]),
+                                  np.array([0.12, -0.25, 0.05])],
                                  0).astype(np.float32))
     dyn["means3D"] = dyn["means3D"] + shift[:, None]
     return cam, w2c, static, dyn

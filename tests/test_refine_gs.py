@@ -51,6 +51,7 @@ def make_views(params, h=16, w=256):
             np.stack(ims).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_refine_recovers_colors(rng):
     from real2sim_eval_tpu.experiments.utils.refine_gs import refine
 

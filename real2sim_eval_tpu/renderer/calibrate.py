@@ -35,6 +35,14 @@ GRANT_MARGIN = 1.4
 MIX_MARGIN = 1.8
 TILE_MARGIN = 1.5
 
+# candidate tier thresholds for the slot-count optimization (plan_tiers):
+# exceed[i] = max over envs/cams of #gaussians whose clamped rect covers
+# more than TIER_CAND[i] tiles
+TIER_CAND = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+# amortized per-grant-row overhead in slot units (the grant tiers gather
+# their attr/payload rows before emission; a dense-block slot does not)
+GRANT_ROW_COST = 8
+
 
 @dataclasses.dataclass(frozen=True)
 class DemandStats:
@@ -45,6 +53,7 @@ class DemandStats:
     n_gt_mid: int     # gaussians needing slots beyond the mid tier
     n_gt_cap: int     # gaussians whose rect exceeds the D cap
     max_rect: int     # largest single-gaussian rect (tiles)
+    exceed: tuple = ()  # #gaussians with clamped rect > t, per TIER_CAND t
 
 
 def _demand_one(cam: Camera, w2c, means, scales, quats, opac, shs,
@@ -57,11 +66,14 @@ def _demand_one(cam: Camera, w2c, means, scales, quats, opac, shs,
     x0, y0, x1, y1 = tile_rect(pre["xy"], pre["radius"], ntx, nty,
                                tile_w, tile_h)
     counts = jnp.where(pre["valid"], (x1 - x0) * (y1 - y0), 0)
-    return (jnp.sum(jnp.minimum(counts, cap)),
+    counts_c = jnp.minimum(counts, cap)
+    return (jnp.sum(counts_c),
             jnp.sum((counts > small).astype(jnp.int32)),
             jnp.sum((counts > mid).astype(jnp.int32)),
             jnp.sum((counts > cap).astype(jnp.int32)),
-            jnp.max(counts))
+            jnp.max(counts),
+            *[jnp.sum((counts > t).astype(jnp.int32))
+              for t in TIER_CAND])
 
 
 def measure_demand(cam_w2c_list, scenes: dict, sh_degree: int,
@@ -86,29 +98,74 @@ def measure_demand(cam_w2c_list, scenes: dict, sh_degree: int,
         agg = outs if agg is None else [max(a, b)
                                         for a, b in zip(agg, outs)]
     return DemandStats(pairs=agg[0], n_gt_small=agg[1], n_gt_mid=agg[2],
-                       n_gt_cap=agg[3], max_rect=agg[4])
+                       n_gt_cap=agg[3], max_rect=agg[4],
+                       exceed=tuple(agg[5:]))
 
 
 def _round_up(v: int, q: int) -> int:
     return -(-int(v) // q) * q
 
 
+def _grant_count(exceeding: int, n: int, quantum: int) -> int:
+    return min(_round_up(exceeding * GRANT_MARGIN + quantum, quantum), n)
+
+
+def plan_tiers(demand: DemandStats, n: int, cap: int):
+    """Pick (small, mid, max_mid, max_large) minimizing emitted slots.
+
+    The binning sort/emit input is ``n*small + max_mid*(mid-small) +
+    max_large*(cap-mid)`` slots (binning.py three-tier emission), and the
+    demand histogram (``exceed``) says exactly how many gaussians each
+    candidate threshold would push into the grant tiers — so the tier
+    split is a tiny discrete optimization, not a hand-tuned constant.
+    Grant rows also pay a gather before emission (GRANT_ROW_COST).
+    Returns tiers that cover init demand exactly (drops only if the scene
+    outgrows the margins — loud through n_large_dropped).
+    """
+    if not demand.exceed:
+        return 4, 8, _grant_count(demand.n_gt_small, n, 256), \
+            _grant_count(demand.n_gt_mid, n, 128)
+    cand = [t for t in TIER_CAND if t < cap]
+    best = None
+    for i, s in enumerate(cand):
+        k_s = _grant_count(demand.exceed[TIER_CAND.index(s)], n, 256)
+        # two-tier: [s, cap) continuation for the top k_s rects
+        cost2 = n * s + k_s * ((cap - s) + GRANT_ROW_COST)
+        if best is None or cost2 < best[0]:
+            best = (cost2, s, 0, 0, k_s)
+        for m in cand[i + 1:]:
+            k_l = _grant_count(demand.exceed[TIER_CAND.index(m)], n, 128)
+            cost3 = (n * s + k_s * ((m - s) + GRANT_ROW_COST)
+                     + k_l * ((cap - m) + GRANT_ROW_COST))
+            if cost3 < best[0]:
+                best = (cost3, s, m, k_s, k_l)
+    _, s, m, k_m, k_l = best
+    if m == 0:
+        # two-tier: binning treats (mid_tiles=0) as dense + one grant
+        return s, 0, 0, k_l
+    return s, m, k_m, k_l
+
+
 def plan_config(config, demand: DemandStats, n: int, chunk_align: int,
                 small: int, mid: int, cap: int):
     """Budget-calibrated copy of ``config`` for one full-pipeline family.
 
-    Sets the pair buffer, the mid/large grant counts, and the rect cap
-    from measured demand (margins above). ``max_pairs_override`` takes
-    precedence over ``max_pairs_factor`` in the consumers.
+    Sets the pair buffer, the slot tiers (optimized from the demand
+    histogram when available, else the passed small/mid), and the rect
+    cap from measured demand (margins above). ``max_pairs_override``
+    takes precedence over ``max_pairs_factor`` in the consumers.
     """
     max_pairs = _round_up(max(demand.pairs * PAIR_MARGIN, 64), chunk_align)
-    max_mid = min(_round_up(demand.n_gt_small * GRANT_MARGIN + 256, 256), n)
-    max_large = min(_round_up(demand.n_gt_mid * GRANT_MARGIN + 128, 128), n)
     # rect cap: cover the largest observed rect (with margin headroom) so
     # a close-up splat never gets a hole punched in it; drops stay loud
     # through n_large_dropped either way
     cap_eff = cap if demand.max_rect <= cap else min(
         _round_up(demand.max_rect * 1.3, 16), 512)
+    if demand.exceed:
+        small, mid, max_mid, max_large = plan_tiers(demand, n, cap_eff)
+    else:
+        max_mid = _grant_count(demand.n_gt_small, n, 256)
+        max_large = _grant_count(demand.n_gt_mid, n, 128)
     return dataclasses.replace(
         config,
         max_pairs_override=max_pairs,
@@ -131,16 +188,27 @@ def plan_config_fine(config, demand: DemandStats, n: int):
     from .fine_kernel import GPR
 
     max_pairs = _round_up(max(demand.pairs * PAIR_MARGIN, 64), GPR)
-    max_large = min(_round_up(demand.n_gt_small * GRANT_MARGIN + 128, 128),
-                    n)
     # the emit block for the granted tier is (cap - small, k_large) wide,
     # so the cap stays bounded; overflow is loud through n_large_dropped
     cap = config.fine_max_tiles
     cap_eff = cap if demand.max_rect <= cap else min(
         _round_up(demand.max_rect * 1.3, 16), 1024)
+    small = config.fine_small_tiles
+    max_large = _grant_count(demand.n_gt_small, n, 128)
+    if demand.exceed:
+        # fine binning is two-tier: optimize the dense-block size over the
+        # demand histogram exactly like plan_tiers' two-tier candidates
+        best = None
+        for t in [t for t in TIER_CAND if t < cap_eff]:
+            k_l = _grant_count(demand.exceed[TIER_CAND.index(t)], n, 128)
+            cost = n * t + k_l * ((cap_eff - t) + GRANT_ROW_COST)
+            if best is None or cost < best[0]:
+                best = (cost, t, k_l)
+        _, small, max_large = best
     return dataclasses.replace(
         config,
         fine_pairs_override=max_pairs,
+        fine_small_tiles=small,
         max_large=max_large,
         fine_max_tiles=cap_eff,
     )

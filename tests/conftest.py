@@ -22,6 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache: the suite is compile-bound on this 1-core
+# host (~9 min cold); cached reruns skip every unchanged compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -116,8 +116,16 @@ def test_plan_config_covers_demand():
     cfg = cal.plan_config(RasterConfig(), dem, n, chunk_align=256,
                          small=4, mid=8, cap=16)
     assert cfg.max_pairs_override >= dem.pairs
-    assert cfg.max_mid >= min(dem.n_gt_small, n)
-    assert cfg.max_large >= min(dem.n_gt_mid, n)
+    # tiers come from the demand-histogram optimization: whatever split it
+    # picked, the grant counts must cover the gaussians beyond each tier
+    assert dem.exceed and len(dem.exceed) == len(cal.TIER_CAND)
+    s_idx = cal.TIER_CAND.index(cfg.small_tiles)
+    if cfg.mid_tiles:
+        assert cfg.max_mid >= dem.exceed[s_idx]
+        assert cfg.max_large >= dem.exceed[cal.TIER_CAND.index(
+            cfg.mid_tiles)]
+    else:
+        assert cfg.max_large >= dem.exceed[s_idx]
     if dem.max_rect > 16:
         assert cfg.max_tiles_per_gaussian >= dem.max_rect
     # binning under the planned config reports zero drops
@@ -176,6 +184,35 @@ def test_plan_config_fine_covers_demand():
                               pack_payloads=False)
     assert int(bins["n_large_dropped"]) == 0
     assert int(bins["n_pairs"]) <= cfg.fine_pairs_override
+
+
+def test_plan_tiers_minimizes_slots_and_covers():
+    """The tier optimizer must (a) beat or match the legacy fixed
+    (4, 8) split on emitted-slot count for a skewed histogram and
+    (b) grant enough rows to cover every threshold it picks."""
+    n = 10000
+    # skewed demand: almost everything fits 2 tiles, a few are huge
+    exceed = tuple(int(n * f) for f in
+                   (0.30, 0.04, 0.02, 0.015, 0.01, 0.008, 0.005, 0.003,
+                    0.002, 0.001))
+    dem = cal.DemandStats(pairs=50000, n_gt_small=150, n_gt_mid=100,
+                          n_gt_cap=10, max_rect=40, exceed=exceed)
+    s, m, k_m, k_l = cal.plan_tiers(dem, n, cap=52)
+
+    def cost(s, m, k_m, k_l, cap=52):
+        g = cal.GRANT_ROW_COST
+        if m:
+            return n * s + k_m * ((m - s) + g) + k_l * ((cap - m) + g)
+        return n * s + k_l * ((cap - s) + g)
+
+    legacy = cost(4, 8,
+                  cal._grant_count(exceed[cal.TIER_CAND.index(4)], n, 256),
+                  cal._grant_count(exceed[cal.TIER_CAND.index(8)], n, 128))
+    assert cost(s, m, k_m, k_l) <= legacy
+    assert k_l >= exceed[cal.TIER_CAND.index(m or s)]
+    if m:
+        assert k_m >= exceed[cal.TIER_CAND.index(s)]
+        assert m > s
 
 
 def test_plan_mix_budgets_cover():

@@ -138,17 +138,31 @@ def interpolate_motions(bones, motions, relations, weights, weights_indices,
     """
     R = fit_bone_rotations(bones, motions, relations)           # (B, 3, 3)
 
-    b_sel = bones[weights_indices]                              # (N, k, 3)
-    m_sel = motions[weights_indices]                            # (N, k, 3)
-    R_sel = R[weights_indices]                                  # (N, k, 3, 3)
+    # ONE packed row-gather instead of four: per-bone lanes
+    # [bone(3) | motion(3) | R(9) | quat(4)] gather together by
+    # weights_indices — TPU gathers serialize per ROW, so four separate
+    # fancy-index gathers of the same rows cost ~4x one 19-lane gather
+    # (same lesson as binning v3's packed pair tables). Values are
+    # bitwise identical to the per-array gathers.
+    n, k = weights_indices.shape
+    lanes = [bones, motions, R.reshape(-1, 9)]
+    if quat is not None:
+        lanes.append(tf.rot_to_quat(R))                         # (B, 4)
+    table = jnp.concatenate(lanes, axis=-1)                     # (B, 15|19)
+    sel = table[weights_indices]                                # (N, k, L)
+    b_sel = sel[..., 0:3]
+    m_sel = sel[..., 3:6]
+    R_sel = sel[..., 6:15].reshape(n, k, 3, 3)
     local = xyz[:, None] - b_sel                                # (N, k, 3)
-    moved = jnp.einsum("nkij,nkj->nki", R_sel, local) + b_sel + m_sel
+    # broadcast-multiply-reduce (fuses) rather than einsum (standalone
+    # dot_general kernel); the contraction is the same 3-term sum
+    moved = (jnp.sum(R_sel * local[:, :, None, :], axis=-1)
+             + b_sel + m_sel)
     xyz_new = jnp.sum(moved * weights[..., None], axis=1)
 
     if quat is None:
         return xyz_new, None
-    base_q = tf.rot_to_quat(R)                                  # (B, 4)
-    q_sel = base_q[weights_indices]                             # (N, k, 4)
+    q_sel = sel[..., 15:19]                                     # (N, k, 4)
     q_blend = tf.quat_normalize(jnp.sum(q_sel * weights[..., None], axis=1))
     quat_new = tf.quat_multiply(q_blend, quat)
     return xyz_new, quat_new

@@ -177,4 +177,4 @@ def simple_weights(bones: jax.Array, pts: jax.Array, k: int = K_REL_SIMPLE,
 
 def simple_apply(weights, indices, bones_pred):
     """xyz = sum_k w_k * bones_pred[idx_k] (gs_renderer.py:757)."""
-    return jnp.einsum("nk,nkc->nc", weights, bones_pred[indices])
+    return jnp.sum(weights[..., None] * bones_pred[indices], axis=1)

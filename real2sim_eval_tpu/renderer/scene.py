@@ -205,7 +205,10 @@ class RobotArticulation:
         delta = self.link_deltas(qpos_full)
         idx = jnp.clip(mask, 0, delta.shape[0] - 1)
         D = delta[idx]                                       # (N, 4, 4)
-        means_new = jnp.einsum("nij,nj->ni", D[:, :3, :3], means) + D[:, :3, 3]
+        # broadcast-multiply-reduce fuses with the surrounding elementwise
+        # work; einsum would emit a standalone dot_general kernel
+        means_new = (jnp.sum(D[:, :3, :3] * means[:, None, :], axis=-1)
+                     + D[:, :3, 3])
         dq = tf.rot_to_quat(D[:, :3, :3])
         quats_new = tf.quat_multiply(dq, quats)
         return means_new, quats_new

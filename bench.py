@@ -282,10 +282,15 @@ def incremental_check(ev):
     import jax.numpy as jnp
     import numpy as np
 
-    from real2sim_eval_tpu.renderer.incremental import render_incremental
     from real2sim_eval_tpu.renderer.raster import rasterize_batch
 
     dbg = ev._incremental_debug
+    if dbg.get("kind") == "fine":
+        from real2sim_eval_tpu.renderer.incremental_fine import \
+            render_incremental_fine as render_incremental
+    else:
+        from real2sim_eval_tpu.renderer.incremental import \
+            render_incremental
     st = ev.state
     dyn, _ = dbg["compose_dyn"](st.rel_pose, st.sm.x, st.grippers, st.qpos7)
     dyn = {k: v[:2] for k, v in dyn.items()}

@@ -440,23 +440,43 @@ class BatchedEvaluator:
                 dyn0, _ = jax.jit(jax.vmap(compose_dyn))(
                     st0.rel_pose, st0.sm.x, st0.grippers, st0.qpos7)
                 n_dyn0 = dyn0["means3D"].shape[1]
-                dem_d = cal.measure_demand(flist0, dyn0, sh_deg,
-                                           TILE_W, TILE_H, 4, 8, 16)
-                rcfg_dyn = cal.plan_config(rcfg, dem_d, n_dyn0, 8, 4, 8, 16)
                 sscene = static_scene()
-                dem_s = cal.measure_demand(
-                    [(cam, jnp.asarray(w2c, jnp.float32)[None])
-                     for cam, w2c in fixed_cams],
-                    {k: v[None] for k, v in sscene.items()}, sh_deg,
-                    TILE_W, TILE_H, 8, 12, 16)
-                rcfg_static = cal.plan_config(
-                    rcfg, dem_s, sscene["means3D"].shape[0], rcfg.chunk,
-                    8, 12, 16)
+                sflist = [(cam, jnp.asarray(w2c, jnp.float32)[None])
+                          for cam, w2c in fixed_cams]
+                sscene_b = {k: v[None] for k, v in sscene.items()}
+                if rcfg.kernel == "fine":
+                    from ..renderer.binning_fine import FINE_H, FINE_W
+                    dem_d = cal.measure_demand(
+                        flist0, dyn0, sh_deg, FINE_W, FINE_H,
+                        rcfg.fine_small_tiles, rcfg.fine_small_tiles,
+                        rcfg.fine_max_tiles)
+                    rcfg_dyn = cal.plan_config_fine(rcfg, dem_d, n_dyn0)
+                    dem_s = cal.measure_demand(
+                        sflist, sscene_b, sh_deg, FINE_W, FINE_H,
+                        max(rcfg.fine_small_tiles, 8),
+                        max(rcfg.fine_small_tiles, 8), rcfg.fine_max_tiles)
+                    rcfg_static = cal.plan_config_fine(
+                        rcfg, dem_s, sscene["means3D"].shape[0])
+                else:
+                    dem_d = cal.measure_demand(flist0, dyn0, sh_deg,
+                                               TILE_W, TILE_H, 4, 8, 16)
+                    rcfg_dyn = cal.plan_config(rcfg, dem_d, n_dyn0, 8,
+                                               4, 8, 16)
+                    dem_s = cal.measure_demand(sflist, sscene_b, sh_deg,
+                                               TILE_W, TILE_H, 8, 12, 16)
+                    rcfg_static = cal.plan_config(
+                        rcfg, dem_s, sscene["means3D"].shape[0], rcfg.chunk,
+                        8, 12, 16)
 
         if use_incremental:
-            from ..renderer.incremental import (build_static_raster,
-                                                render_incremental)
             from ..renderer.raster import rasterize_batch
+            if rcfg.kernel == "fine":
+                from ..renderer.incremental_fine import (
+                    build_static_raster_fine as build_static_raster,
+                    render_incremental_fine as render_incremental)
+            else:
+                from ..renderer.incremental import (build_static_raster,
+                                                    render_incremental)
 
             st_scene = static_scene()
             cam_static = [
@@ -476,8 +496,12 @@ class BatchedEvaluator:
                 dshs0 = (dyn0["shs"] if sh_deg > 0
                          else dyn0["shs"][:, :, :1])
                 n_dirty_mx = mix_mx = dynp_mx = 0
-                mp_d = (rcfg_dyn.max_pairs_override
-                        or int(rcfg.max_pairs_factor * n_dyn0))
+                if rcfg.kernel == "fine":
+                    mp_d = (rcfg_dyn.fine_pairs_override
+                            or int(rcfg.fine_pairs_factor * n_dyn0))
+                else:
+                    mp_d = (rcfg_dyn.max_pairs_override
+                            or int(rcfg.max_pairs_factor * n_dyn0))
                 mp_d = -(-mp_d // 8) * 8
                 for cam, static, w2c in cam_static:
                     def one_mix(means, scales, quats, opac, sh, _cam=cam,
@@ -486,6 +510,31 @@ class BatchedEvaluator:
                         pre = preprocess_gaussians(
                             _cam, _w2c, means, scales, quats, opac, sh,
                             sh_deg)
+                        if rcfg.kernel == "fine":
+                            # dirty granularity is the SUPERTILE: every
+                            # fine tile of a dirty supertile enters the
+                            # mix (incremental_fine._merge_one_env_fine)
+                            from ..renderer.binning_fine import \
+                                bin_gaussians_fine
+                            bins = bin_gaussians_fine(
+                                pre, _st.n_super_x, _st.n_super_y, mp_d,
+                                small_tiles=rcfg_dyn.fine_small_tiles,
+                                max_tiles_per_gaussian=(
+                                    rcfg_dyn.fine_max_tiles),
+                                max_large=rcfg_dyn.max_large,
+                                pack_payloads=False)
+                            cnt_d = (bins["fine_ends"]
+                                     - bins["fine_starts"])
+                            n_sup = _st.n_super_x * _st.n_super_y
+                            dirty_s = jnp.sum(
+                                cnt_d.reshape(n_sup, 8), axis=1) > 0
+                            inb_f = jnp.repeat(dirty_s, 8)
+                            len_s = jnp.where(inb_f,
+                                              _st.ends - _st.starts, 0)
+                            cnt_in = jnp.where(inb_f, cnt_d, 0)
+                            return (jnp.sum(dirty_s.astype(jnp.int32)),
+                                    jnp.sum(len_s + cnt_in),
+                                    jnp.sum(cnt_d))
                         bins = bin_gaussians(
                             pre, _st.n_tiles_x, _st.n_tiles_y,
                             TILE_W, TILE_H, mp_d,
@@ -514,7 +563,7 @@ class BatchedEvaluator:
             self._incremental_debug = {
                 "cam_static": cam_static, "static_scene": st_scene,
                 "compose_dyn": jax.jit(jax.vmap(compose_dyn)),
-                "sh_deg": sh_deg,
+                "sh_deg": sh_deg, "kind": rcfg.kernel,
                 "rcfg_dyn": rcfg_dyn, "t_budget": t_budget, "p_mix": p_mix,
             }
 

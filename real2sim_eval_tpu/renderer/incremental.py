@@ -55,7 +55,8 @@ from .tile_kernel import (ATTR, GPR, rasterize_tiles_batch,
 DEPTH_LANE = 9   # depth lives in lane 9 of the packed pair attrs
 
 
-def _static_cutoff(attrs, starts, ends, ntx, nty, max_seg):
+def _static_cutoff(attrs, starts, ends, ntx, nty, max_seg,
+                   tile_w: int = TILE_W, tile_h: int = TILE_H):
     """Per-tile count of leading static pairs that can EVER contribute.
 
     Front-to-back transmittance saturates: once every pixel of a tile is
@@ -71,11 +72,11 @@ def _static_cutoff(attrs, starts, ends, ntx, nty, max_seg):
     n_tiles = ntx * nty
     p_s = attrs.shape[0]
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    px = ((t_ids % ntx)[:, None, None] * TILE_W
-          + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
+    px = ((t_ids % ntx)[:, None, None] * tile_w
+          + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
           ).astype(jnp.float32)
-    py = ((t_ids // ntx)[:, None, None] * TILE_H
-          + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
+    py = ((t_ids // ntx)[:, None, None] * tile_h
+          + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
           ).astype(jnp.float32)
 
     def body(carry, p):
@@ -102,7 +103,7 @@ def _static_cutoff(attrs, starts, ends, ntx, nty, max_seg):
         used = live & ((starts + p) < ends)
         return (T, done), used
 
-    shape = (n_tiles, TILE_H, TILE_W)
+    shape = (n_tiles, tile_h, tile_w)
     init = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
     _, used = jax.lax.scan(body, init, jnp.arange(max_seg, dtype=jnp.int32))
     return jnp.sum(used.astype(jnp.int32), axis=0)        # (n_tiles,)
@@ -181,29 +182,26 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
         height=cam.height, width=cam.width)
 
 
-def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
-                   config: RasterConfig, t_budget: int, p_mix: int):
-    """Per-env merge of the dynamic pairs into the static stream.
+def _merge_core(static, n_tiles: int, cnt_d, bin_tile_starts, tile_d,
+                d_attr, slot_tile, real, inb_t, p_mix: int):
+    """Tile-size-agnostic merge of dynamic pairs into frozen static streams.
 
-    Returns (mix_attrs (p_mix, ATTR), dirty_ids (t_budget,),
-    starts/ends (t_budget,), telemetry (4,) i32 =
-    [n_dirty, dropped_tiles, dropped_pairs, binning_dropped])."""
-    ntx, nty = static.n_tiles_x, static.n_tiles_y
-    n_tiles = ntx * nty
+    Shared by the wide path (slots = dirty tiles) and the fine-sparse path
+    (slots = the 8 fine tiles of each dirty supertile — possibly with NO
+    dynamic pairs of their own). Args:
+      static: StaticRaster-like (starts, ends, pair_depth, data_pairs,
+        max_seg) over ``n_tiles`` tiles.
+      cnt_d: (n_tiles,) dynamic pair count per tile.
+      bin_tile_starts: (n_tiles,) dynamic stream starts per tile.
+      tile_d / d_attr: (P_d,) sorted dynamic pair tiles + (P_d, ATTR) rows.
+      slot_tile: (n_slots,) ascending tile ids to re-composite (sentinels
+        >= n_tiles).
+      real: (n_slots,) slot_tile < n_tiles.
+      inb_t: (n_tiles,) tile belongs to an in-budget slot.
+    Returns (mix (p_mix, ATTR), starts_m, ends_m, total, off).
+    """
     p_s = static.data_pairs.shape[0]
-    max_pairs_d = (config.max_pairs_override
-                   or int(config.max_pairs_factor * n_dyn))
-    max_pairs_d = -(-max_pairs_d // GPR) * GPR
-
-    bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
-                         config.max_tiles_per_gaussian,
-                         small_tiles=config.small_tiles,
-                         max_large=config.max_large, pack_payloads=False,
-                         mid_tiles=config.mid_tiles,
-                         max_mid=config.max_mid)
-    tile_d = bins["pair_tile"]                               # (P_d,)
     p_d = tile_d.shape[0]
-    d_attr = gather_pair_attrs(pre, bins, n_dyn)             # (P_d, ATTR)
     depth_d = d_attr[:, DEPTH_LANE]
     valid_d = tile_d < n_tiles
 
@@ -223,32 +221,19 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
         hi = jnp.where(go, hi, mid)
     insert = lo
 
-    # --- dirty tiles, compacted ascending ---------------------------------
-    cnt_d = bins["tile_ends"] - bins["tile_starts"]          # (n_tiles,)
-    dirty = cnt_d > 0
-    n_dirty = jnp.sum(dirty.astype(jnp.int32))
-    keys = jnp.where(dirty, jnp.arange(n_tiles, dtype=jnp.int32),
-                     jnp.int32(n_tiles))
-    dirty_ids = jax.lax.sort(keys)[:t_budget]
-    real = dirty_ids < n_tiles
-    t_safe = jnp.minimum(dirty_ids, n_tiles - 1)
+    t_safe = jnp.minimum(slot_tile, n_tiles - 1)
     len_s = jnp.where(real, static.ends[t_safe] - static.starts[t_safe], 0)
     len_dd = jnp.where(real, cnt_d[t_safe], 0)
     length = len_s + len_dd
     csum = jnp.cumsum(length)
     off = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
     total = csum[-1]
-    over_pairs = jnp.maximum(total - p_mix, 0)
-    over_tiles = jnp.maximum(n_dirty - t_budget, 0)
 
     # --- dynamic pairs -> mix slots ---------------------------------------
-    # slot order == ascending tile order (dirty_ids are sorted tile ids),
-    # so per-TILE offset/membership arrays replace the per-pair
-    # searchsorted into the slot list (traced at 43 ms/step): one packed
-    # (n_tiles,) cumsum + ONE gather per pair. off_neg[t] = mix offset of
-    # tile t's slot, or -1 if t is clean / over budget.
-    d_rank = jnp.cumsum(dirty.astype(jnp.int32)) - dirty.astype(jnp.int32)
-    inb_t = dirty & (d_rank < t_budget)
+    # slot order == ascending tile order, so per-TILE offset/membership
+    # arrays replace the per-pair searchsorted into the slot list (traced
+    # at 43 ms/step): one packed (n_tiles,) cumsum + ONE gather per pair.
+    # off_neg[t] = mix offset of tile t's slot, or -1 if not re-composited.
     len_t = jnp.where(inb_t,
                       (static.ends - static.starts) + cnt_d, 0)
     off_t = jnp.cumsum(len_t) - len_t
@@ -257,7 +242,7 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     in_budget = (off_pair >= 0) & valid_d
     j_idx = jnp.arange(p_d, dtype=jnp.int32)
     out_j = (off_pair + (insert - static.starts[t_cl])
-             + (j_idx - bins["tile_starts"][t_cl]))
+             + (j_idx - bin_tile_starts[t_cl]))
     ok_j = in_budget & (out_j < p_mix)
     tgt = jnp.where(ok_j, out_j, p_mix)                      # drop slot
     mark = jnp.zeros((p_mix,), jnp.int32).at[tgt].set(1, mode="drop")
@@ -270,9 +255,11 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     # the static-stream gap starts_s[t_{d+1}] - ends_s[t_d] >= 0), so a
     # scatter of A at each slot's start offset + a cummax forward-fill
     # replaces per-position slot lookups (log-depth gathers over p_mix
-    # rows, serialized on TPU). Real dirty slots always have length >= 1
-    # (dirty == at least one dynamic pair), so their seed offsets are
-    # distinct; sentinel slots seed -BIG which never wins the cummax.
+    # rows, serialized on TPU). Zero-LENGTH slots (fine-sparse: a clean,
+    # static-empty fine tile of a dirty supertile) share their seed offset
+    # with the next slot; .at[].max + non-decreasing A keeps the owner of
+    # each position correct (the positive-length slot is last in any
+    # equal-offset run). Sentinel slots seed -BIG which never wins.
     pos = jnp.arange(p_mix, dtype=jnp.int32)
     c_ex = jnp.cumsum(mark) - mark                           # dyn slots < p
     off_cl = jnp.minimum(off, p_mix - 1)
@@ -301,6 +288,46 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
 
     starts_m = jnp.minimum(off, p_mix).astype(jnp.int32)
     ends_m = jnp.minimum(off + length, p_mix).astype(jnp.int32)
+    return mix, starts_m, ends_m, total, off
+
+
+def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
+                   config: RasterConfig, t_budget: int, p_mix: int):
+    """Per-env merge of the dynamic pairs into the static stream.
+
+    Returns (mix_attrs (p_mix, ATTR), dirty_ids (t_budget,),
+    starts/ends (t_budget,), telemetry (4,) i32 =
+    [n_dirty, dropped_tiles, dropped_pairs, binning_dropped])."""
+    ntx, nty = static.n_tiles_x, static.n_tiles_y
+    n_tiles = ntx * nty
+    max_pairs_d = (config.max_pairs_override
+                   or int(config.max_pairs_factor * n_dyn))
+    max_pairs_d = -(-max_pairs_d // GPR) * GPR
+
+    bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
+                         config.max_tiles_per_gaussian,
+                         small_tiles=config.small_tiles,
+                         max_large=config.max_large, pack_payloads=False,
+                         mid_tiles=config.mid_tiles,
+                         max_mid=config.max_mid)
+    d_attr = gather_pair_attrs(pre, bins, n_dyn)             # (P_d, ATTR)
+
+    # --- dirty tiles, compacted ascending ---------------------------------
+    cnt_d = bins["tile_ends"] - bins["tile_starts"]          # (n_tiles,)
+    dirty = cnt_d > 0
+    n_dirty = jnp.sum(dirty.astype(jnp.int32))
+    keys = jnp.where(dirty, jnp.arange(n_tiles, dtype=jnp.int32),
+                     jnp.int32(n_tiles))
+    dirty_ids = jax.lax.sort(keys)[:t_budget]
+    real = dirty_ids < n_tiles
+    d_rank = jnp.cumsum(dirty.astype(jnp.int32)) - dirty.astype(jnp.int32)
+    inb_t = dirty & (d_rank < t_budget)
+
+    mix, starts_m, ends_m, total, _ = _merge_core(
+        static, n_tiles, cnt_d, bins["tile_starts"], bins["pair_tile"],
+        d_attr, dirty_ids, real, inb_t, p_mix)
+    over_pairs = jnp.maximum(total - p_mix, 0)
+    over_tiles = jnp.maximum(n_dirty - t_budget, 0)
     tele = jnp.stack([n_dirty, over_tiles, over_pairs,
                       bins["n_large_dropped"]]).astype(jnp.int32)
     return mix, dirty_ids, starts_m, ends_m, tele

@@ -1,0 +1,338 @@
+"""Fine-stream incremental (dirty-tile) rendering for fixed cameras.
+
+Same exactness contract as the wide incremental path (incremental.py):
+clean SUPERTILES keep their cached pixels; dirty supertiles are
+re-composited from merged [dynamic; static] streams that reproduce the
+full fine pipeline's sort order bitwise. The difference is the
+compositor: instead of one (8,128)-pixel wide tile per pair-step (~10%
+lane utilization at ~10 px splat footprints), each dirty supertile's 8
+fine (8,16)-px streams walk in lockstep through the SAME fine kernel the
+wrist camera uses (fine_kernel._kernel) — every vector op serves up to 8
+pairs.
+
+Grouping is by SUPERTILE (not by stream length as in the full-frame fine
+path): a dirty supertile's 8 fine tiles form one launch whose (8,128)
+output block fully overwrites the cached block in place (the same
+BlockSpec-aliasing trick as tile_kernel.rasterize_tiles_sparse, junk pad
+row for sentinels) — no scatter pass, no partial-block writes. Fine
+tiles of a dirty supertile that received NO dynamic pairs re-composite
+from their pure static stream, which is bitwise the cached content, so
+whole-block overwrite is exact. Intra-supertile stream-length divergence
+is the padding cost this trades for scatter-free output.
+
+Reference semantics preserved: cuda_rasterizer/forward.cu:262-394 (via
+fine_kernel.py's compositing loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning_fine import FINE_H, FINE_W, bin_gaussians_fine
+from .camera import Camera
+from .fine_kernel import GPR, GROUPS, SEGR, _kernel, pack_attr_major
+from .incremental import DEPTH_LANE, _merge_core, _static_cutoff
+from .preprocess import preprocess_gaussians
+from .raster import RasterConfig
+from .tile_kernel import ATTR
+
+SUP_W = GROUPS * FINE_W     # 128
+SUP_H = FINE_H              # 8
+
+
+@dataclasses.dataclass(frozen=True)
+class StaticRasterFine:
+    """Frozen static-scene fine raster state for ONE fixed camera."""
+
+    data_pairs: jax.Array     # (P_s, ATTR) fine-tile-sorted attr rows
+    pair_depth: jax.Array     # (P_s,) view depth per static pair
+    starts: jax.Array         # (n_fine,) pair range per FINE tile
+    ends: jax.Array           # (n_fine,)
+    rgb_cache: jax.Array      # (3, h_pad + SUP_H, w_pad) incl. junk row
+    depth_cache: jax.Array    # (h_pad + SUP_H, w_pad)
+    n_super_x: int
+    n_super_y: int
+    max_seg: int              # longest static per-FINE-tile segment
+    height: int
+    width: int
+
+
+def build_static_raster_fine(cam: Camera, w2c, scene: dict, sh_degree: int,
+                             config: RasterConfig, bg=(0.0, 0.0, 0.0)
+                             ) -> StaticRasterFine:
+    """Preprocess + fine-bin + composite the static gaussians once."""
+    from .fine_kernel import rasterize_fine_batch
+
+    n = scene["means3D"].shape[0]
+    nsx = -(-cam.width // SUP_W)
+    nsy = -(-cam.height // SUP_H)
+    n_fine = nsx * GROUPS * nsy
+    # one-time build: calibrated override when present, else a generous
+    # factor (buffer size costs nothing per step here)
+    max_pairs = (config.fine_pairs_override
+                 or int(max(config.fine_pairs_factor, 8.0) * n))
+    max_pairs = -(-max_pairs // GPR) * GPR
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+
+    shs = scene["shs"] if sh_degree > 0 else scene["shs"][:, :1]
+    pre = preprocess_gaussians(cam, jnp.asarray(w2c, jnp.float32),
+                               scene["means3D"], scene["scales"],
+                               scene["rotations"], scene["opacities"],
+                               shs, sh_degree)
+    # exactness contract: the merge's tie rule needs unquantized depths,
+    # so this path never packs payloads (see incremental.py)
+    bins = bin_gaussians_fine(pre, nsx, nsy, max_pairs,
+                              small_tiles=max(config.fine_small_tiles, 8),
+                              max_tiles_per_gaussian=config.fine_max_tiles,
+                              max_large=config.max_large,
+                              pack_payloads=False)
+    lanes = bins["pair_lanes"]
+    attrs = jnp.stack(list(lanes)
+                      + [jnp.zeros_like(lanes[0])] * (ATTR - len(lanes)),
+                      axis=-1)                                # (P_s, ATTR)
+    depth = jnp.where(bins["pair_tile"] < n_fine,
+                      attrs[:, DEPTH_LANE], jnp.inf)
+    data = pack_attr_major(list(lanes))
+    rgb, dep = rasterize_fine_batch(
+        data, bins["fine_starts"][None], bins["fine_ends"][None],
+        nsx, nsy, bg=bg, interpret=config.interpret)
+    max_seg = int(jax.device_get(
+        jnp.max(bins["fine_ends"] - bins["fine_starts"])))
+    # saturation truncation per FINE tile (pixel-exact, see incremental.py)
+    k_sat = _static_cutoff(attrs, bins["fine_starts"], bins["fine_ends"],
+                           nsx * GROUPS, nsy, max_seg,
+                           tile_w=FINE_W, tile_h=FINE_H)
+    ends_trunc = bins["fine_starts"] + k_sat
+    max_seg = int(jax.device_get(jnp.max(k_sat)))
+    pad = ((0, SUP_H), (0, 0))
+    return StaticRasterFine(
+        data_pairs=attrs, pair_depth=depth,
+        starts=bins["fine_starts"], ends=ends_trunc,
+        rgb_cache=jnp.pad(rgb[0], ((0, 0),) + pad),
+        depth_cache=jnp.pad(dep[0], pad),
+        n_super_x=nsx, n_super_y=nsy, max_seg=max_seg,
+        height=cam.height, width=cam.width)
+
+
+def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
+                        config: RasterConfig, s_budget: int, p_mix: int):
+    """Per-env merge at fine granularity, slots = 8 fine tiles per dirty
+    supertile. Returns (mix (p_mix, ATTR), slot fine ids (s_budget*8,),
+    starts/ends (s_budget*8,), telemetry (4,) i32 = [n_dirty_super,
+    dropped_supertiles, dropped_pairs, binning_dropped])."""
+    nsx, nsy = static.n_super_x, static.n_super_y
+    n_super = nsx * nsy
+    n_fine = n_super * GROUPS
+    max_pairs_d = (config.fine_pairs_override
+                   or int(config.fine_pairs_factor * n_dyn))
+    max_pairs_d = -(-max_pairs_d // GPR) * GPR
+
+    bins = bin_gaussians_fine(pre, nsx, nsy, max_pairs_d,
+                              small_tiles=config.fine_small_tiles,
+                              max_tiles_per_gaussian=config.fine_max_tiles,
+                              max_large=config.max_large,
+                              pack_payloads=False)
+    lanes = bins["pair_lanes"]
+    d_attr = jnp.stack(list(lanes)
+                       + [jnp.zeros_like(lanes[0])] * (ATTR - len(lanes)),
+                       axis=-1)                               # (P_d, ATTR)
+
+    cnt_d = bins["fine_ends"] - bins["fine_starts"]           # (n_fine,)
+    # fine id f = ty*n_fine_x + tx = (supertile id)*GROUPS + lane group
+    # (n_fine_x = nsx*GROUPS), so consecutive groups of 8 fine ids ARE the
+    # supertiles — reshape groups them exactly
+    cnt_super = jnp.sum(cnt_d.reshape(n_super, GROUPS), axis=1)
+    dirty_s = cnt_super > 0
+    n_dirty = jnp.sum(dirty_s.astype(jnp.int32))
+    keys = jnp.where(dirty_s, jnp.arange(n_super, dtype=jnp.int32),
+                     jnp.int32(n_super))
+    dirty_super = jax.lax.sort(keys)[:s_budget]               # ascending
+    slot_tile = (dirty_super[:, None] * GROUPS
+                 + jnp.arange(GROUPS, dtype=jnp.int32)[None]).reshape(-1)
+    real = slot_tile < n_fine
+    s_rank = (jnp.cumsum(dirty_s.astype(jnp.int32))
+              - dirty_s.astype(jnp.int32))
+    inb_s = dirty_s & (s_rank < s_budget)
+    inb_t = jnp.repeat(inb_s, GROUPS)                         # (n_fine,)
+
+    mix, starts_m, ends_m, total, _ = _merge_core(
+        static, n_fine, cnt_d, bins["fine_starts"], bins["pair_tile"],
+        d_attr, slot_tile, real, inb_t, p_mix)
+    over_pairs = jnp.maximum(total - p_mix, 0)
+    over_super = jnp.maximum(n_dirty - s_budget, 0)
+    tele = jnp.stack([n_dirty, over_super, over_pairs,
+                      bins["n_large_dropped"]]).astype(jnp.int32)
+    return mix, slot_tile, starts_m, ends_m, tele
+
+
+def _kernel_sparse_fine(tids_ref, starts_ref, ends_ref, data_hbm,
+                        rgb_in, depth_in, rgb_ref, depth_ref, *,
+                        n_super_x: int, n_rows: int, bg):
+    """fine_kernel._kernel writing through cache-aliased supertile blocks.
+
+    rgb_in/depth_in are the cached frames the outputs alias — never read
+    (each program overwrites its WHOLE supertile block; clean supertiles
+    are never visited, so they keep their pixels through the alias)."""
+    del rgb_in, depth_in
+    _kernel(tids_ref, starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref,
+            n_super_x=n_super_x, n_rows=n_rows, bg=bg)
+
+
+def rasterize_fine_sparse(data, slot_ids, starts, ends, rgb_cached,
+                          depth_cached, n_super_x, n_super_y, bg,
+                          interpret=False):
+    """Re-composite ONLY the dirty supertiles on top of cached frames.
+
+    Args:
+      data: (rows, 128) attr-major packed mix table (all instances
+        concatenated, 8 pairs per row).
+      slot_ids: (I, S*8) i32 fine-tile ids, 8 consecutive per dirty
+        supertile, ascending; sentinels >= n_fine land on the junk row.
+      starts/ends: (I, S*8) GLOBAL pair offsets into data's pair space.
+      rgb_cached / depth_cached: (I, 3, h_pad + SUP_H, w_pad) and
+        (I, h_pad + SUP_H, w_pad) cached frames incl. the junk pad row;
+        outputs alias them.
+    Returns (rgb, depth) of the same padded shapes (caller crops).
+    """
+    n_inst, n_slots = slot_ids.shape
+    assert n_slots % GROUPS == 0
+    s_budget = n_slots // GROUPS
+    n_super = n_super_x * n_super_y
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+
+    # SMEM budget: split the instance axis when the prefetch tables
+    # outgrow it (same guard as rasterize_fine_batch)
+    max_inst = max(int(0.1e6) // (n_slots * 4), 1)
+    if n_inst > max_inst:
+        outs = [rasterize_fine_sparse(
+            data, slot_ids[i:i + max_inst], starts[i:i + max_inst],
+            ends[i:i + max_inst], rgb_cached[i:i + max_inst],
+            depth_cached[i:i + max_inst], n_super_x, n_super_y, bg,
+            interpret)
+            for i in range(0, n_inst, max_inst)]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
+
+    data = jnp.pad(data, ((0, SEGR), (0, 0)))   # segment DMA over-read room
+    n_rows = data.shape[0]
+    h_pad = n_super_y * SUP_H
+    w_pad = n_super_x * SUP_W
+    assert rgb_cached.shape == (n_inst, 3, h_pad + SUP_H, w_pad)
+    assert depth_cached.shape == (n_inst, h_pad + SUP_H, w_pad)
+
+    def sid_of(g, t):
+        # the 8 slots of program g share one supertile (or sentinel):
+        # sentinel fine id == n_fine -> sid == n_super -> junk row
+        # (n_super // n_super_x == n_super_y, n_super % n_super_x == 0)
+        return t[g * GROUPS] // GROUPS
+
+    rgb_spec = pl.BlockSpec(
+        (1, 3, SUP_H, SUP_W),
+        lambda g, t, s, e: (g // s_budget, 0,
+                            sid_of(g, t) // n_super_x,
+                            sid_of(g, t) % n_super_x))
+    depth_spec = pl.BlockSpec(
+        (1, SUP_H, SUP_W),
+        lambda g, t, s, e: (g // s_budget,
+                            sid_of(g, t) // n_super_x,
+                            sid_of(g, t) % n_super_x))
+    kernel = functools.partial(_kernel_sparse_fine, n_super_x=n_super_x,
+                               n_rows=n_rows, bg=bg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_inst * s_budget,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), rgb_spec, depth_spec],
+        out_specs=[rgb_spec, depth_spec],
+    )
+    rgb, depth = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(rgb_cached.shape, jnp.float32),
+            jax.ShapeDtypeStruct(depth_cached.shape, jnp.float32),
+        ],
+        # operand numbering includes the 3 scalar-prefetch args
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(slot_ids.reshape(-1), starts.reshape(-1), ends.reshape(-1), data,
+      rgb_cached, depth_cached)
+    return rgb, depth
+
+
+def render_incremental_fine(cam_static_w2c: list, dyn_scenes: dict,
+                            sh_degree: int, config: RasterConfig,
+                            t_budget: int = 96, p_mix: int = 32768,
+                            bg=(0.0, 0.0, 0.0)):
+    """Render B envs x n fixed cameras incrementally with fine streams.
+
+    Args mirror incremental.render_incremental (same keyword names so the
+    evaluator/bench call sites dispatch on kernel kind alone);
+    cam_static_w2c carries StaticRasterFine entries. ``t_budget`` counts
+    dirty SUPERTILES per instance (each contributes 8 fine-stream slots).
+    Returns (rgb (n_cams, B, 3, h, w), depth (n_cams, B, h, w),
+    telemetry (n_cams, B, 4) i32 [n_dirty_super, dropped_supertiles,
+    dropped_pairs, binning_dropped]).
+    """
+    assert cam_static_w2c
+    cam0, st0, _ = cam_static_w2c[0]
+    h, w = cam0.height, cam0.width
+    nsx, nsy = st0.n_super_x, st0.n_super_y
+    B = dyn_scenes["means3D"].shape[0]
+    n_dyn = dyn_scenes["means3D"].shape[1]
+    p_mix = -(-p_mix // GPR) * GPR
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+    shs = dyn_scenes["shs"] if sh_degree > 0 else dyn_scenes["shs"][:, :, :1]
+
+    mixes, sids, starts, ends, teles, caches_rgb, caches_dep = \
+        [], [], [], [], [], [], []
+    for cam, static, w2c in cam_static_w2c:
+        assert (cam.height, cam.width) == (h, w)
+
+        def one(means, scales, quats, opac, sh, _cam=cam, _st=static,
+                _w2c=jnp.asarray(w2c, jnp.float32)):
+            pre = preprocess_gaussians(_cam, _w2c, means, scales, quats,
+                                       opac, sh, sh_degree)
+            return _merge_one_env_fine(_st, pre, n_dyn, config, t_budget,
+                                       p_mix)
+
+        m, d, s, e, t = jax.vmap(one)(
+            dyn_scenes["means3D"], dyn_scenes["scales"],
+            dyn_scenes["rotations"], dyn_scenes["opacities"], shs)
+        mixes.append(m)
+        sids.append(d)
+        starts.append(s)
+        ends.append(e)
+        teles.append(t)
+        caches_rgb.append(jnp.broadcast_to(
+            static.rgb_cache[None], (B,) + static.rgb_cache.shape))
+        caches_dep.append(jnp.broadcast_to(
+            static.depth_cache[None], (B,) + static.depth_cache.shape))
+
+    mix = jnp.concatenate(mixes, axis=0)          # (I, p_mix, ATTR)
+    n_inst = mix.shape[0]
+    data = jax.vmap(
+        lambda m: pack_attr_major([m[:, a] for a in range(10)]))(mix)
+    data = data.reshape(-1, GPR * ATTR)
+    inst_off = (jnp.arange(n_inst, dtype=jnp.int32) * p_mix)[:, None]
+    starts = jnp.concatenate(starts, axis=0) + inst_off
+    ends = jnp.concatenate(ends, axis=0) + inst_off
+    slot_ids = jnp.concatenate(sids, axis=0)
+
+    rgb, depth = rasterize_fine_sparse(
+        data, slot_ids, starts, ends,
+        jnp.concatenate(caches_rgb, axis=0),
+        jnp.concatenate(caches_dep, axis=0),
+        nsx, nsy, bg=bg, interpret=config.interpret)
+
+    n_cams = len(cam_static_w2c)
+    rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(n_cams, B, 3, h, w)
+    depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
+    tele = jnp.stack(teles, axis=0)
+    return rgb, depth, tele

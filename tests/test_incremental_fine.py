@@ -1,0 +1,121 @@
+"""Fine-stream incremental renderer: exactness against the full fine
+pipeline.
+
+Contract (renderer/incremental_fine.py): re-compositing only the dirty
+SUPERTILES (8 fine streams each, including fine tiles with no dynamic
+pairs of their own) on top of cached static frames produces BITWISE the
+same pixels as the full fine-kernel pipeline run on the scene
+concatenated [dynamic; static] — the same clean-tile / merge-order
+arguments as the wide incremental path, plus the zero-length-slot case
+unique to supertile grouping.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from real2sim_eval_tpu.renderer.camera import setup_camera
+from real2sim_eval_tpu.renderer.incremental_fine import (
+    build_static_raster_fine, render_incremental_fine)
+from real2sim_eval_tpu.renderer.raster import RasterConfig, rasterize_batch
+
+H, W = 64, 128
+
+
+def _cam():
+    k = np.array([[160.0, 0, W / 2], [0, 160.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.0, 0.0, -1.2]
+    return setup_camera(W, H, k, np.linalg.inv(c2w))
+
+
+def _gaussians(rng, n, center, spread, scale=0.02):
+    means = (center + rng.normal(scale=spread, size=(n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    return {
+        "means3D": jnp.asarray(means),
+        "scales": jnp.full((n, 3), scale, jnp.float32),
+        "rotations": jnp.asarray(quats),
+        "opacities": jnp.asarray(rng.uniform(0.3, 0.9, (n, 1)).astype(np.float32)),
+        "shs": jnp.asarray(rng.normal(scale=0.3, size=(n, 1, 3)).astype(np.float32)),
+    }
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    cam, w2c = _cam()
+    static = _gaussians(rng, 400, np.array([0.0, 0.0, 0.3]), 0.45)
+    B = 3
+    dyn = {k: jnp.stack([v] * B) for k, v in
+           _gaussians(rng, 40, np.array([0.05, 0.0, 0.1]), 0.05).items()}
+    shift = jnp.asarray(np.stack([np.array([0.0, 0.0, 0.0]),
+                                  np.array([-0.15, 0.2, 0.0]),
+                                  np.array([0.12, -0.25, 0.05])],
+                                 0).astype(np.float32))
+    dyn["means3D"] = dyn["means3D"] + shift[:, None]
+    return cam, w2c, static, dyn
+
+
+# bitwise contract: unquantized payloads on both sides; fine budgets
+# sized so nothing clamps
+CFG = RasterConfig(backend="pallas", kernel="fine", interpret=True,
+                   fine_pairs_factor=40.0, fine_small_tiles=6,
+                   fine_max_tiles=128, max_large=4096,
+                   pack_payloads=False)
+
+
+def _full_reference(cam, w2c, static, dyn):
+    """Full fine-kernel pipeline on the [dyn; static] concatenation."""
+    B = dyn["means3D"].shape[0]
+    scenes = {k: jnp.concatenate(
+        [dyn[k], jnp.broadcast_to(static[k][None],
+                                  (B,) + static[k].shape)], axis=1)
+        for k in static}
+    return rasterize_batch([(cam, jnp.broadcast_to(
+        jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))],
+        scenes, 0, config=CFG)
+
+
+def test_fine_incremental_matches_full(scene):
+    cam, w2c, static, dyn = scene
+    rgb_f, dep_f = _full_reference(cam, w2c, static, dyn)
+
+    st = build_static_raster_fine(cam, w2c, static, 0, CFG)
+    assert st.max_seg > 0
+    rgb_i, dep_i, tele = render_incremental_fine(
+        [(cam, st, w2c)], dyn, 0, CFG, t_budget=32, p_mix=8192)
+
+    assert tele.shape == (1, 3, 4)
+    n_dirty = np.asarray(tele[0, :, 0])
+    n_super = st.n_super_x * st.n_super_y
+    assert (n_dirty > 0).all() and (n_dirty < n_super).all()
+    assert (np.asarray(tele[0, :, 1:]) == 0).all(), "no drops expected"
+    np.testing.assert_array_equal(np.asarray(rgb_i[0]), np.asarray(rgb_f[0]))
+    np.testing.assert_array_equal(np.asarray(dep_i[0]), np.asarray(dep_f[0]))
+
+
+def test_fine_budget_overflow_reported(scene):
+    cam, w2c, static, dyn = scene
+    st = build_static_raster_fine(cam, w2c, static, 0, CFG)
+    _, _, tele = render_incremental_fine(
+        [(cam, st, w2c)], dyn, 0, CFG, t_budget=2, p_mix=8192)
+    n_dirty = np.asarray(tele[0, :, 0])
+    dropped = np.asarray(tele[0, :, 1])
+    assert (dropped == np.maximum(n_dirty - 2, 0)).all()
+    assert (dropped > 0).any(), "fixture should overflow a 2-supertile budget"
+
+
+def test_fine_clean_supertiles_keep_cache(scene):
+    """Moving the object out of frame leaves every cached pixel intact."""
+    cam, w2c, static, dyn = scene
+    st = build_static_raster_fine(cam, w2c, static, 0, CFG)
+    dyn_far = dict(dyn)
+    dyn_far["means3D"] = dyn["means3D"] + jnp.asarray([5.0, 5.0, 0.0])
+    rgb_b, dep_b, tele = render_incremental_fine([(cam, st, w2c)], dyn_far,
+                                                 0, CFG)
+    assert (np.asarray(tele[0, :, 0]) == 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(rgb_b[0, 0]), np.asarray(st.rgb_cache[:, :H, :W]).clip(0, 1))

@@ -108,6 +108,46 @@ def test_fine_budget_overflow_reported(scene):
     assert (dropped > 0).any(), "fixture should overflow a 2-supertile budget"
 
 
+@pytest.mark.slow
+def test_evaluator_fine_incremental_matches_wide(tmp_path):
+    """End-to-end: BatchedEvaluator with kernel='fine' + incremental must
+    track the wide incremental path within the 3-sigma rect tolerance
+    (the fine pipeline crops splats at their 3-sigma fine rects like the
+    CUDA reference's getRect; the wide kernel composites whole 128-px
+    tile rows, so high-opacity splats differ on pixels just outside
+    3 sigma — bounded well under the 2e-2 golden tolerance)."""
+    from real2sim_eval_tpu.parallel import BatchedEvaluator
+    from real2sim_eval_tpu.testing import (full_cfg, make_rope_points,
+                                           make_synthetic_scene,
+                                           write_fixture_checkpoint)
+
+    rope = make_rope_points(n=60, length=0.3)
+    write_fixture_checkpoint(tmp_path, "rope_test", rope, spring_Y=2e3)
+    cams = [dict(type="side", h=64, w=256,
+                 intr=[80.0, 0, 128.0, 0, 80.0, 32.0, 0, 0, 1],
+                 c2w=[1, 0, 0, 0, 0, -1, 0, 0, 0, 0, -1, 1.5, 0, 0, 0, 1])]
+    gs = make_synthetic_scene(tmp_path / "scans", rope_pts=rope,
+                              ik_urdf=None, n_table=300)
+    cfg = full_cfg(tmp_path, "rope_test", gs=gs, cameras=cams,
+                   physics_over=dict(dt=2e-4, self_collision=False))
+    outs = {}
+    for kern in ("fine", "wide"):
+        ev = BatchedEvaluator(
+            cfg, episode_ids=[0, 1],
+            raster_config=RasterConfig(backend="pallas", kernel=kern,
+                                       interpret=True, incremental="on",
+                                       pack_payloads=False))
+        assert ev._incremental_debug is not None
+        assert ev._incremental_debug["kind"] == kern
+        ims, deps, _, _ = ev.render()
+        outs[kern] = (np.asarray(ims), np.asarray(deps))
+        drops = ev.render_drops()
+        assert sum(drops.values()) == 0, drops
+    d_rgb = np.abs(outs["fine"][0] - outs["wide"][0]).max()
+    d_dep = np.abs(outs["fine"][1] - outs["wide"][1]).max()
+    assert d_rgb < 2e-2 and d_dep < 1e-2, (d_rgb, d_dep)
+
+
 def test_fine_clean_supertiles_keep_cache(scene):
     """Moving the object out of frame leaves every cached pixel intact."""
     cam, w2c, static, dyn = scene

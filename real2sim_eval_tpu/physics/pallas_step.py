@@ -759,16 +759,22 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
     def step(params: SpringMassParams, static_pose, rest_x,
              state: SpringMassState, ctrl: SubstepControls) -> SpringMassState:
         # ---- RCM boundary permutation (roll tables index internal order) --
+        # x/v (and batched rest_x) pack into ONE row gather per boundary:
+        # TPU gathers serialize per row, so k separate fancy-index gathers
+        # by the same perm cost ~k-x one packed wide-row gather
         perm = params.roll_perm
         if perm is not None:
             params = params.replace(
                 masses=params.masses[perm],
                 collision_mask=params.collision_mask[perm])
-            state = state.replace(x=state.x[:, perm], v=state.v[:, perm])
             if rest_x.ndim == 3:
-                rest_x = rest_x[:, perm]
+                xvr = jnp.concatenate([state.x, state.v, rest_x],
+                                      axis=-1)[:, perm]
+                rest_x = xvr[..., 6:9]
             else:
-                rest_x = rest_x[perm]
+                xvr = jnp.concatenate([state.x, state.v], axis=-1)[:, perm]
+                rest_x = rest_x[perm]          # shared (N, 3): cheap
+            state = state.replace(x=xvr[..., 0:3], v=xvr[..., 3:6])
 
         # ---- shared tables (constant per episode; folded by XLA) ----------
         Y = jnp.exp(params.roll_Y_log)
@@ -960,11 +966,12 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
                               jnp.asarray(n_full * K, jnp.int32))
         xs, ys, zs, vxs, vys, vzs, ff = carry
 
-        x_out = jnp.stack([xs[:B, :N], ys[:B, :N], zs[:B, :N]], axis=-1)
-        v_out = jnp.stack([vxs[:B, :N], vys[:B, :N], vzs[:B, :N]], axis=-1)
-        if perm is not None:
-            x_out = x_out[:, params.roll_inv_perm]
-            v_out = v_out[:, params.roll_inv_perm]
+        xv_out = jnp.stack([xs[:B, :N], ys[:B, :N], zs[:B, :N],
+                            vxs[:B, :N], vys[:B, :N], vzs[:B, :N]], axis=-1)
+        if perm is not None:      # one packed inverse gather (see entry)
+            xv_out = xv_out[:, params.roll_inv_perm]
+        x_out = xv_out[..., 0:3]
+        v_out = xv_out[..., 3:6]
         nf_out = state.finger_forces.shape[-2]
         ff_out = ff[:B, :3 * nf_out].reshape(B, nf_out, 3)
         # patch escapes accumulate in ff lane 30 inside the kernel

@@ -165,19 +165,9 @@ def calibrated_cfg(base, cam_list, scenes, sh_deg):
     evaluator does at build (renderer/calibrate.py) — full-pipeline checks
     at the 100k scale under-render on the uncalibrated defaults."""
     from real2sim_eval_tpu.renderer import calibrate as cal
-    from real2sim_eval_tpu.renderer.raster import TILE_H, TILE_W
 
-    n = scenes["means3D"].shape[1]
-    if base.kernel == "fine":
-        from real2sim_eval_tpu.renderer.binning_fine import FINE_H, FINE_W
-        dem = cal.measure_demand(cam_list, scenes, sh_deg, FINE_W, FINE_H,
-                                 base.fine_small_tiles,
-                                 base.fine_small_tiles,
-                                 base.fine_max_tiles)
-        return cal.plan_config_fine(base, dem, n)
-    dem = cal.measure_demand(cam_list, scenes, sh_deg, TILE_W, TILE_H,
-                             4, 8, 16)
-    return cal.plan_config(base, dem, n, base.chunk, 4, 8, 16)
+    return cal.measure_and_plan(base, cam_list, scenes, sh_deg,
+                                 scenes["means3D"].shape[1], base.chunk)
 
 
 def golden_check(ev):

@@ -416,26 +416,13 @@ class BatchedEvaluator:
             flist0 = [(cam, jnp.broadcast_to(
                 jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))
                 for cam, w2c in fixed_cams]
-            def plan_family(cam_list):
-                """Calibrate one full-pipeline family for rcfg's kernel:
-                the wide and fine compositors bin at different tile dims
-                and read different budget knobs."""
-                if rcfg.kernel == "fine":
-                    from ..renderer.binning_fine import FINE_H, FINE_W
-                    dem = cal.measure_demand(
-                        cam_list, scenes0, sh_deg, FINE_W, FINE_H,
-                        rcfg.fine_small_tiles, rcfg.fine_small_tiles,
-                        rcfg.fine_max_tiles)
-                    return cal.plan_config_fine(rcfg, dem, n_all)
-                dem = cal.measure_demand(cam_list, scenes0, sh_deg,
-                                         TILE_W, TILE_H, 4, 8, 16)
-                return cal.plan_config(rcfg, dem, n_all, rcfg.chunk,
-                                       4, 8, 16)
-
             if wlist0:
-                rcfg_wrist = plan_family(wlist0)
+                rcfg_wrist = cal.measure_and_plan(rcfg, wlist0, scenes0,
+                                                  sh_deg, n_all, rcfg.chunk)
             if not use_incremental and (fixed_cams or wrist_cams):
-                rcfg_mixed = plan_family(flist0 + wlist0)
+                rcfg_mixed = cal.measure_and_plan(rcfg, flist0 + wlist0,
+                                                  scenes0, sh_deg, n_all,
+                                                  rcfg.chunk)
             if use_incremental:
                 dyn0, _ = jax.jit(jax.vmap(compose_dyn))(
                     st0.rel_pose, st0.sm.x, st0.grippers, st0.qpos7)
@@ -444,29 +431,14 @@ class BatchedEvaluator:
                 sflist = [(cam, jnp.asarray(w2c, jnp.float32)[None])
                           for cam, w2c in fixed_cams]
                 sscene_b = {k: v[None] for k, v in sscene.items()}
-                if rcfg.kernel == "fine":
-                    from ..renderer.binning_fine import FINE_H, FINE_W
-                    dem_d = cal.measure_demand(
-                        flist0, dyn0, sh_deg, FINE_W, FINE_H,
-                        rcfg.fine_small_tiles, rcfg.fine_small_tiles,
-                        rcfg.fine_max_tiles)
-                    rcfg_dyn = cal.plan_config_fine(rcfg, dem_d, n_dyn0)
-                    dem_s = cal.measure_demand(
-                        sflist, sscene_b, sh_deg, FINE_W, FINE_H,
-                        max(rcfg.fine_small_tiles, 8),
-                        max(rcfg.fine_small_tiles, 8), rcfg.fine_max_tiles)
-                    rcfg_static = cal.plan_config_fine(
-                        rcfg, dem_s, sscene["means3D"].shape[0])
-                else:
-                    dem_d = cal.measure_demand(flist0, dyn0, sh_deg,
-                                               TILE_W, TILE_H, 4, 8, 16)
-                    rcfg_dyn = cal.plan_config(rcfg, dem_d, n_dyn0, 8,
-                                               4, 8, 16)
-                    dem_s = cal.measure_demand(sflist, sscene_b, sh_deg,
-                                               TILE_W, TILE_H, 8, 12, 16)
-                    rcfg_static = cal.plan_config(
-                        rcfg, dem_s, sscene["means3D"].shape[0], rcfg.chunk,
-                        8, 12, 16)
+                rcfg_dyn = cal.measure_and_plan(rcfg, flist0, dyn0, sh_deg,
+                                                n_dyn0, 8)
+                # static builds clamp their dense block from below (>= 8,
+                # one-time cost) — plan within that domain
+                rcfg_static = cal.measure_and_plan(
+                    rcfg, sflist, sscene_b, sh_deg,
+                    sscene["means3D"].shape[0], rcfg.chunk,
+                    wide_tiers=(8, 12, 16), small_floor=8)
 
         if use_incremental:
             from ..renderer.raster import rasterize_batch

@@ -58,10 +58,14 @@ class DemandStats:
 
 def _demand_one(cam: Camera, w2c, means, scales, quats, opac, shs,
                 sh_degree: int, tile_w: int, tile_h: int,
-                small: int, mid: int, cap: int):
+                small: int, mid: int, cap: int, ntx_round: int = 1):
     pre = preprocess_gaussians(cam, w2c, means, scales, quats, opac, shs,
                                sh_degree)
-    ntx = -(-cam.width // tile_w)
+    # ntx_round: the FINE grid pads x to whole supertiles (8 fine columns
+    # per 128-px supertile), so rects near the right image edge clamp at
+    # the PADDED grid in binning_fine — demand must count on that grid or
+    # edge-heavy scenes under-measure and the margins erode silently
+    ntx = _round_up(-(-cam.width // tile_w), ntx_round)
     nty = -(-cam.height // tile_h)
     x0, y0, x1, y1 = tile_rect(pre["xy"], pre["radius"], ntx, nty,
                                tile_w, tile_h)
@@ -78,7 +82,7 @@ def _demand_one(cam: Camera, w2c, means, scales, quats, opac, shs,
 
 def measure_demand(cam_w2c_list, scenes: dict, sh_degree: int,
                    tile_w: int, tile_h: int, small: int, mid: int,
-                   cap: int) -> DemandStats:
+                   cap: int, ntx_round: int = 1) -> DemandStats:
     """Max demand over (cameras x envs).
 
     cam_w2c_list: list of (Camera, w2c (B, 4, 4)).
@@ -87,7 +91,8 @@ def measure_demand(cam_w2c_list, scenes: dict, sh_degree: int,
     shs = scenes["shs"] if sh_degree > 0 else scenes["shs"][:, :, :1]
     fn = functools.partial(_demand_one, sh_degree=sh_degree,
                            tile_w=tile_w, tile_h=tile_h,
-                           small=small, mid=mid, cap=cap)
+                           small=small, mid=mid, cap=cap,
+                           ntx_round=ntx_round)
     agg = None
     for cam, w2c_b in cam_w2c_list:
         outs = jax.jit(jax.vmap(
@@ -110,7 +115,8 @@ def _grant_count(exceeding: int, n: int, quantum: int) -> int:
     return min(_round_up(exceeding * GRANT_MARGIN + quantum, quantum), n)
 
 
-def plan_tiers(demand: DemandStats, n: int, cap: int):
+def plan_tiers(demand: DemandStats, n: int, cap: int,
+               small_floor: int = 1):
     """Pick (small, mid, max_mid, max_large) minimizing emitted slots.
 
     The binning sort/emit input is ``n*small + max_mid*(mid-small) +
@@ -125,7 +131,12 @@ def plan_tiers(demand: DemandStats, n: int, cap: int):
     if not demand.exceed:
         return 4, 8, _grant_count(demand.n_gt_small, n, 256), \
             _grant_count(demand.n_gt_mid, n, 128)
-    cand = [t for t in TIER_CAND if t < cap]
+    # small_floor: some consumers clamp the dense block from below (the
+    # static-raster builds use >= 8 since build cost is one-time); the
+    # planner must optimize within the consumer's actual domain
+    cand = [t for t in TIER_CAND if small_floor <= t < cap]
+    if not cand:
+        cand = [t for t in TIER_CAND if t < cap][-1:]
     best = None
     for i, s in enumerate(cand):
         k_s = _grant_count(demand.exceed[TIER_CAND.index(s)], n, 256)
@@ -147,7 +158,7 @@ def plan_tiers(demand: DemandStats, n: int, cap: int):
 
 
 def plan_config(config, demand: DemandStats, n: int, chunk_align: int,
-                small: int, mid: int, cap: int):
+                small: int, mid: int, cap: int, small_floor: int = 1):
     """Budget-calibrated copy of ``config`` for one full-pipeline family.
 
     Sets the pair buffer, the slot tiers (optimized from the demand
@@ -155,14 +166,19 @@ def plan_config(config, demand: DemandStats, n: int, chunk_align: int,
     cap from measured demand (margins above). ``max_pairs_override``
     takes precedence over ``max_pairs_factor`` in the consumers.
     """
-    max_pairs = _round_up(max(demand.pairs * PAIR_MARGIN, 64), chunk_align)
     # rect cap: cover the largest observed rect (with margin headroom) so
     # a close-up splat never gets a hole punched in it; drops stay loud
     # through n_large_dropped either way
     cap_eff = cap if demand.max_rect <= cap else min(
         _round_up(demand.max_rect * 1.3, 16), 512)
+    # demand.pairs was clamped at the ORIGINAL cap; when the cap is
+    # raised, granted big splats emit up to cap_eff tiles each — bound
+    # the extra so the pair buffer covers the config actually planned
+    pairs = demand.pairs + demand.n_gt_cap * max(cap_eff - cap, 0)
+    max_pairs = _round_up(max(pairs * PAIR_MARGIN, 64), chunk_align)
     if demand.exceed:
-        small, mid, max_mid, max_large = plan_tiers(demand, n, cap_eff)
+        small, mid, max_mid, max_large = plan_tiers(demand, n, cap_eff,
+                                                    small_floor)
     else:
         max_mid = _grant_count(demand.n_gt_small, n, 256)
         max_large = _grant_count(demand.n_gt_mid, n, 128)
@@ -177,34 +193,39 @@ def plan_config(config, demand: DemandStats, n: int, chunk_align: int,
     )
 
 
-def plan_config_fine(config, demand: DemandStats, n: int):
+def plan_config_fine(config, demand: DemandStats, n: int,
+                     small_floor: int = 1):
     """Budget-calibrated copy of ``config`` for the FINE-kernel pipeline.
 
     Fine binning (binning_fine.py) is two-tier (dense block + one big-rect
     grant) with a centered-rect clamp, so the knobs are the fine pair
     buffer, the grant count, and the fine rect cap. Demand must be
-    measured with the fine tile dims (16x8) and the fine small/cap knobs.
+    measured with the fine tile dims (16x8) on the supertile-PADDED x
+    grid (measure_demand ntx_round=8) and the fine small/cap knobs.
     """
     from .fine_kernel import GPR
 
-    max_pairs = _round_up(max(demand.pairs * PAIR_MARGIN, 64), GPR)
     # the emit block for the granted tier is (cap - small, k_large) wide,
     # so the cap stays bounded; overflow is loud through n_large_dropped
     cap = config.fine_max_tiles
     cap_eff = cap if demand.max_rect <= cap else min(
         _round_up(demand.max_rect * 1.3, 16), 1024)
+    # see plan_config: demand.pairs was clamped at the original cap
+    pairs = demand.pairs + demand.n_gt_cap * max(cap_eff - cap, 0)
+    max_pairs = _round_up(max(pairs * PAIR_MARGIN, 64), GPR)
     small = config.fine_small_tiles
     max_large = _grant_count(demand.n_gt_small, n, 128)
     if demand.exceed:
         # fine binning is two-tier: optimize the dense-block size over the
         # demand histogram exactly like plan_tiers' two-tier candidates
         best = None
-        for t in [t for t in TIER_CAND if t < cap_eff]:
+        for t in [t for t in TIER_CAND if small_floor <= t < cap_eff]:
             k_l = _grant_count(demand.exceed[TIER_CAND.index(t)], n, 128)
             cost = n * t + k_l * ((cap_eff - t) + GRANT_ROW_COST)
             if best is None or cost < best[0]:
                 best = (cost, t, k_l)
-        _, small, max_large = best
+        if best is not None:
+            _, small, max_large = best
     return dataclasses.replace(
         config,
         fine_pairs_override=max_pairs,
@@ -212,6 +233,28 @@ def plan_config_fine(config, demand: DemandStats, n: int):
         max_large=max_large,
         fine_max_tiles=cap_eff,
     )
+
+
+def measure_and_plan(config, cam_list, scenes: dict, sh_degree: int,
+                     n: int, chunk_align: int,
+                     wide_tiers=(4, 8, 16), small_floor: int = 1):
+    """Demand measurement + budget planning for ONE camera family,
+    dispatching on ``config.kernel`` — the single implementation the
+    evaluator's wrist/mixed/dyn/static families and bench.calibrated_cfg
+    all share (a fix applied here reaches every family)."""
+    if config.kernel == "fine":
+        from .binning_fine import FINE_H, FINE_W
+        dem = measure_demand(cam_list, scenes, sh_degree, FINE_W, FINE_H,
+                             config.fine_small_tiles,
+                             config.fine_small_tiles,
+                             config.fine_max_tiles, ntx_round=8)
+        return plan_config_fine(config, dem, n, small_floor=small_floor)
+    from .raster import TILE_H, TILE_W
+    s, m, c = wide_tiers
+    dem = measure_demand(cam_list, scenes, sh_degree, TILE_W, TILE_H,
+                         s, m, c)
+    return plan_config(config, dem, n, chunk_align, s, m, c,
+                       small_floor=small_floor)
 
 
 def plan_mix_budgets(static_rasters, dyn_demand_pairs: int,

@@ -15,8 +15,11 @@ LOG=/tmp/chip_session.log
 : > "$LOG"
 run() {
   echo "=== $* ===" | tee -a "$LOG"
-  timeout 3600 "$@" 2>&1 | tail -20 | tee -a "$LOG"
-  echo "--- rc=$? ---" | tee -a "$LOG"
+  local out rc
+  out=$(timeout 3600 "$@" 2>&1)
+  rc=$?                       # the command's status, not a pipeline tail's
+  echo "$out" | tail -20 | tee -a "$LOG"
+  echo "--- rc=$rc ---" | tee -a "$LOG"
 }
 
 run python bench.py                                   # 1 (dual-size, calibrated)

@@ -215,6 +215,59 @@ def test_plan_tiers_minimizes_slots_and_covers():
         assert m > s
 
 
+def test_fine_demand_counts_on_padded_grid():
+    """Regression: the fine grid pads x to whole supertiles (8 fine
+    columns per 128 px), so rects at the right image edge clamp LATER
+    than on the unpadded grid. Demand measured without ntx_round=8
+    under-counts there and calibrated budgets drop valid pairs."""
+    from real2sim_eval_tpu.renderer.binning_fine import (FINE_H, FINE_W,
+                                                         bin_gaussians_fine)
+
+    # W=208: ceil(208/16)=13 fine cols unpadded, padded grid = 16 cols
+    cam = Camera(width=208, height=32, fx=60.0, fy=60.0, cx=180.0,
+                 cy=16.0, z_threshold=0.05)
+    rng = np.random.default_rng(9)
+    n = 64
+    # cluster at the right edge (cx=180 -> projects near x~180-208+)
+    means = np.stack([rng.uniform(-0.1, 0.6, n),
+                      rng.uniform(-0.2, 0.2, n),
+                      rng.uniform(0.5, 1.5, n)], -1)
+    scales = rng.uniform(0.05, 0.15, (n, 3))
+    q = rng.normal(size=(n, 4))
+    quats = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    scenes = {
+        "means3D": jnp.asarray(means[None], jnp.float32),
+        "scales": jnp.asarray(scales[None], jnp.float32),
+        "rotations": jnp.asarray(quats[None], jnp.float32),
+        "opacities": jnp.asarray(rng.uniform(0.3, 1.0, (1, n)),
+                                 jnp.float32),
+        "shs": jnp.asarray(rng.uniform(-0.5, 0.5, (1, n, 1, 3)),
+                           jnp.float32),
+    }
+    base = RasterConfig(kernel="fine")
+    dem_pad = cal.measure_demand([(cam, jnp.eye(4)[None])], scenes, 0,
+                                 FINE_W, FINE_H, base.fine_small_tiles,
+                                 base.fine_small_tiles,
+                                 base.fine_max_tiles, ntx_round=8)
+    dem_raw = cal.measure_demand([(cam, jnp.eye(4)[None])], scenes, 0,
+                                 FINE_W, FINE_H, base.fine_small_tiles,
+                                 base.fine_small_tiles,
+                                 base.fine_max_tiles)
+    assert dem_pad.pairs > dem_raw.pairs, \
+        "edge cluster must show the padded-grid demand delta"
+    cfg = cal.plan_config_fine(base, dem_pad, n)
+    pre = preprocess_gaussians(cam, jnp.eye(4), scenes["means3D"][0],
+                               scenes["scales"][0], scenes["rotations"][0],
+                               scenes["opacities"][0], scenes["shs"][0], 0)
+    bins = bin_gaussians_fine(pre, 2, 4, cfg.fine_pairs_override,
+                              small_tiles=cfg.fine_small_tiles,
+                              max_tiles_per_gaussian=cfg.fine_max_tiles,
+                              max_large=cfg.max_large,
+                              pack_payloads=False)
+    assert int(bins["n_large_dropped"]) == 0
+    assert int(bins["n_pairs"]) <= cfg.fine_pairs_override
+
+
 def test_plan_mix_budgets_cover():
     t, p = cal.plan_mix_budgets(None, dyn_demand_pairs=3000, n_dirty=20,
                                 mix_demand=26447)

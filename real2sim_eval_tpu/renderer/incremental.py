@@ -157,6 +157,15 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
                          # dynamic sort is small; the big sorts are the
                          # wrist/full pipeline's)
                          max_large=config.max_large, pack_payloads=False)
+    # the static cache is served for the WHOLE episode: a cropped build
+    # would silently corrupt every clean tile, so drops fail loudly here
+    # (one-time host sync; per-step paths report via telemetry)
+    n_drop = int(jax.device_get(bins["n_large_dropped"]))
+    if n_drop:
+        raise ValueError(
+            f"static raster build dropped {n_drop} pairs — raise "
+            "max_pairs_factor/max_tiles_per_gaussian/max_large (calibrate "
+            "the static family, renderer/calibrate.py)")
     attrs = gather_pair_attrs(pre, bins, n)                   # (P_s, ATTR)
     depth = jnp.where(bins["pair_tile"] < ntx * nty,
                       attrs[:, DEPTH_LANE], jnp.inf)

@@ -37,14 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning_fine import FINE_H, FINE_W, bin_gaussians_fine
 from .camera import Camera
-from .fine_kernel import GPR, GROUPS, SEGR, _kernel, pack_attr_major
+from .fine_kernel import (GPR, GROUPS, SEGR, SUP_H, SUP_W, _kernel,
+                          pack_attr_major)
 from .incremental import DEPTH_LANE, _merge_core, _static_cutoff
 from .preprocess import preprocess_gaussians
 from .raster import RasterConfig
 from .tile_kernel import ATTR
 
-SUP_W = GROUPS * FINE_W     # 128
-SUP_H = FINE_H              # 8
+# the kernel's supertile dims and the binner's fine-tile dims must agree
+# (one launch = GROUPS fine streams covering one (SUP_H, SUP_W) block)
+assert SUP_W == GROUPS * FINE_W and SUP_H == FINE_H
+
+
+def _lanes_to_attr_rows(lanes) -> jax.Array:
+    """10 payload lane arrays (P,) -> (P, ATTR) zero-padded attr rows
+    (the pair-major layout _merge_core mixes; pack_attr_major re-packs
+    the mixed rows to the kernel's attr-major form)."""
+    pads = [jnp.zeros_like(lanes[0])] * (ATTR - len(lanes))
+    return jnp.stack(list(lanes) + pads, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,10 +103,17 @@ def build_static_raster_fine(cam: Camera, w2c, scene: dict, sh_degree: int,
                               max_tiles_per_gaussian=config.fine_max_tiles,
                               max_large=config.max_large,
                               pack_payloads=False)
+    # the static cache is served for the WHOLE episode: a cropped build
+    # would silently corrupt every clean supertile, so drops fail loudly
+    # here (one-time host sync; per-step paths report via telemetry)
+    n_drop = int(jax.device_get(bins["n_large_dropped"]))
+    if n_drop:
+        raise ValueError(
+            f"static fine raster build dropped {n_drop} pairs — raise "
+            "fine_pairs_override/fine_max_tiles/max_large (calibrate the "
+            "static family, renderer/calibrate.py)")
     lanes = bins["pair_lanes"]
-    attrs = jnp.stack(list(lanes)
-                      + [jnp.zeros_like(lanes[0])] * (ATTR - len(lanes)),
-                      axis=-1)                                # (P_s, ATTR)
+    attrs = _lanes_to_attr_rows(lanes)                        # (P_s, ATTR)
     depth = jnp.where(bins["pair_tile"] < n_fine,
                       attrs[:, DEPTH_LANE], jnp.inf)
     data = pack_attr_major(list(lanes))
@@ -139,10 +156,7 @@ def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
                               max_tiles_per_gaussian=config.fine_max_tiles,
                               max_large=config.max_large,
                               pack_payloads=False)
-    lanes = bins["pair_lanes"]
-    d_attr = jnp.stack(list(lanes)
-                       + [jnp.zeros_like(lanes[0])] * (ATTR - len(lanes)),
-                       axis=-1)                               # (P_d, ATTR)
+    d_attr = _lanes_to_attr_rows(bins["pair_lanes"])          # (P_d, ATTR)
 
     cnt_d = bins["fine_ends"] - bins["fine_starts"]           # (n_fine,)
     # fine id f = ty*n_fine_x + tx = (supertile id)*GROUPS + lane group
@@ -204,7 +218,6 @@ def rasterize_fine_sparse(data, slot_ids, starts, ends, rgb_cached,
     n_inst, n_slots = slot_ids.shape
     assert n_slots % GROUPS == 0
     s_budget = n_slots // GROUPS
-    n_super = n_super_x * n_super_y
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
 
     # SMEM budget: split the instance axis when the prefetch tables

@@ -158,6 +158,8 @@ def main():
     ap.add_argument("--gaussians", type=int, default=0,
                     help="override table gaussian count (0 = bench default)")
     ap.add_argument("--out", default="")
+    ap.add_argument("--kernel", default="wide", choices=("wide", "fine"),
+                    help="compositor variant (bench.py --kernel)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__),
@@ -168,6 +170,7 @@ def main():
 
     import bench
 
+    bench.KERNEL = args.kernel
     t0 = time.time()
     ev = bench.build_evaluator(args.batch,
                                args.gaussians or bench.N_TABLE_SMALL)

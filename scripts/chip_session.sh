@@ -28,4 +28,5 @@ run python bench.py --check --kernel fine             # 4 (fine vs dense)
 run python bench.py --kernel fine --gaussians 30000   # 3a
 run python bench.py --kernel fine --gaussians 99000   # 3b
 run python -m real2sim_eval_tpu.experiments.utils.trace_step --batch 64  # 5
+run python -m real2sim_eval_tpu.experiments.utils.trace_step --batch 64 --kernel fine
 echo "chip session complete" | tee -a "$LOG"

@@ -374,6 +374,11 @@ def run_config(args, n_table: int, headline: bool):
                                   f"physics {ev.telemetry()}",
                           "vs_baseline": 0.0}))
     pix = golden_frame_check(ev, write=False, n_table=n_table)
+    # hard gate (VERDICT round-3 weak 4 / advisor bench.py:376): a pixel
+    # regression — or a headline run with no golden on record — must not
+    # ship behind a passing exit code. --write-golden is the sanctioned
+    # escape for recording a verified change.
+    pix_fatal = pix.startswith("FAIL") or (headline and pix == "no-golden")
 
     n_cams = len(CAMERAS)
     agg = B / dt
@@ -388,9 +393,12 @@ def run_config(args, n_table: int, headline: bool):
                  f"{per_env:.2f} FPS/env; physics {t_phys*1e3:.0f} ms, "
                  f"render {t_render*1e3:.0f} ms, total {dt*1e3:.0f} ms; "
                  f"drops={n_drop} sat={phys_sat} pixel_check={pix})"),
-        "vs_baseline": round(per_env / TARGET_FPS, 4),
+        "vs_baseline": (0.0 if pix_fatal
+                        else round(per_env / TARGET_FPS, 4)),
     }
     print(json.dumps(result), flush=True)
+    if pix_fatal:
+        sys.exit(1)
 
 
 def check_backend_alive(timeout_s: float = 120.0) -> bool:

@@ -141,7 +141,12 @@ def _to_state_tree(x):
         return type(x)(_to_state_tree(v) for v in x)
     if hasattr(x, "shape"):
         arr = np.asarray(x)
-        if _torch is not None and arr.dtype.kind in "fiub":
+        # torch.from_numpy supports float/int/bool but of the uints ONLY
+        # uint8 — a uint32 leaf (PRNG key, index array) must stay numpy
+        # or write_state crashes mid-episode
+        convertible = (arr.dtype.kind in "fib"
+                       or arr.dtype == np.uint8)
+        if _torch is not None and convertible:
             return _torch.from_numpy(np.ascontiguousarray(arr))
         return arr
     return x

@@ -98,6 +98,9 @@ def _align_pairs(bins, params: _DiffParams):
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(ac).astype(jnp.int32)])[:-1]
     a_ends = a_starts + counts
     p_a = params.max_pairs + align * n_tiles                   # static cap
+    # per-instance tables stack at offsets i*p_a: chunk alignment of every
+    # instance's grad chunks requires p_a itself to be chunk-aligned
+    assert p_a % align == 0, (p_a, align)
 
     t = bins["pair_tile"]                                      # (P,)
     tc = jnp.minimum(t, n_tiles - 1)
@@ -436,7 +439,12 @@ def rasterize_diff(cam: Camera, w2c, means3d, scales, quats, opacities, shs,
     max_pairs = (config.max_pairs_override
                  or int(config.max_pairs_factor * n))
     chunk = min(config.chunk, 64)      # small chunks bound alignment waste
-    max_pairs = -(-max_pairs // chunk) * chunk
+    # align to the backward chunk GRANULARITY (chunk_rows*GPR, >= 64 —
+    # _align_pairs floors chunk_rows at 8), not just `chunk`: a chunk
+    # below 64 would otherwise break per-instance offsets i*p_a off chunk
+    # boundaries and let adjacent instances' grad writes share a chunk
+    align = max(chunk // GPR, 8) * GPR
+    max_pairs = -(-max_pairs // align) * align
     params = _DiffParams(
         h=cam.height, w=cam.width,
         n_tiles_x=-(-cam.width // TILE_W), n_tiles_y=-(-cam.height // TILE_H),
@@ -475,7 +483,9 @@ def rasterize_diff_views(cam: Camera, w2cs, means3d, scales, quats,
     max_pairs = (config.max_pairs_override
                  or int(config.max_pairs_factor * n))
     chunk = min(config.chunk, 64)
-    max_pairs = -(-max_pairs // chunk) * chunk
+    # round to the backward chunk granularity — see rasterize_diff
+    align = max(chunk // GPR, 8) * GPR
+    max_pairs = -(-max_pairs // align) * align
     params = _DiffParams(
         h=cam.height, w=cam.width,
         n_tiles_x=-(-cam.width // TILE_W), n_tiles_y=-(-cam.height // TILE_H),

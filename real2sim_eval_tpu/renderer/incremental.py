@@ -135,10 +135,13 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
     nty = -(-cam.height // TILE_H)
     # one-time build: buffer size costs nothing per step here, so keep a
     # generous floor regardless of the (runtime-tuned) config factor.
-    # NOTE: deliberately ignores max_pairs_override — that calibration
-    # (renderer/calibrate.py) is for the per-step DYNAMIC binning; the
-    # static build sizes to its own scene
+    # When the STATIC family was budget-calibrated (renderer/calibrate.py
+    # via measure_and_plan), its override is the measured demand x margin
+    # for exactly this scene — honor it (still floored at the generous
+    # default: the build is one-time, under-sizing here raises below).
     max_pairs = int(max(config.max_pairs_factor, 6.0) * n)
+    if config.max_pairs_override:
+        max_pairs = max(max_pairs, int(config.max_pairs_override))
     max_pairs = -(-max_pairs // config.chunk) * config.chunk
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
 
@@ -147,6 +150,11 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
                                scene["means3D"], scene["scales"],
                                scene["rotations"], scene["opacities"],
                                shs, sh_degree)
+    # pass the FULL planned tier set: plan_tiers may pick a three-tier
+    # split (mid_tiles/max_mid) in which max_large only covers demand
+    # beyond the MID cap — binning two-tier against such a plan drops
+    # mid-band pairs and trips the loud ValueError below on exactly the
+    # scenes the optimizer picked three tiers for
     bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs,
                          config.max_tiles_per_gaussian,
                          small_tiles=max(config.small_tiles, 8),
@@ -156,7 +164,8 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
                          # this path never packs payloads (its per-step
                          # dynamic sort is small; the big sorts are the
                          # wrist/full pipeline's)
-                         max_large=config.max_large, pack_payloads=False)
+                         max_large=config.max_large, pack_payloads=False,
+                         mid_tiles=config.mid_tiles, max_mid=config.max_mid)
     # the static cache is served for the WHOLE episode: a cropped build
     # would silently corrupt every clean tile, so drops fail loudly here
     # (one-time host sync; per-step paths report via telemetry)

@@ -148,8 +148,15 @@ def _kernel(tids_ref, starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
                 t2 = []
                 for a in range(10):
                     t1 = blk[:, GPR * a:GPR * (a + 1)]      # (p, j)
+                    # HIGHEST: the MXU rounds operands to bf16 at default
+                    # precision — fine in interpret mode, but on real TPU
+                    # it truncates the f32 attr VALUES (conic/opacity/
+                    # color/depth) to ~3 digits (chip smoke r4: max|rgb|
+                    # 9.5e-2 -> 6.7e-3). expand is 0/1 (bf16-exact), so
+                    # only t1 pays the 3-pass split; the dot is 8x8@8x128
                     t2.append(jax.lax.dot_general(
                         t1, expand, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32))  # (j, 128)
                 # stream-boundary window mask, hoisted to one (8,128)
                 # compare per block: pair j of the block is the stream's

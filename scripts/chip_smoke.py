@@ -144,7 +144,10 @@ def smoke_full(kernel: str, note: str):
     # bench scene, and production packs f16 sort payloads (PARITY dev 16)
     ok = (d_rgb < 2e-2 and flips <= max(5, int(1e-3 * dep_r.size))
           and n_drop == 0)
-    ms = time_ms(lambda: run()[0])
+    # jit once for the timing: a bare rasterize_batch call re-traces every
+    # invocation, which measures tracing overhead, not the kernel
+    runj = jax.jit(lambda: run()[0])
+    ms = time_ms(runj)
     bank(kernel, ok, f"max|rgb|={d_rgb:.2e} depth_flips={flips} "
          f"drops={n_drop} (4000g, 424x240)", ms, note)
 
@@ -188,10 +191,11 @@ def smoke_incremental(kind: str, note: str):
     rgb_f, dep_f = rasterize_batch(
         [(cam, jnp.broadcast_to(jnp.asarray(w2c)[None], (B, 4, 4)))],
         comb, 0, config=cfg)
+    runj = jax.jit(lambda: run()[0])
     d_rgb = float(jnp.abs(rgb_i - rgb_f).max())
     d_dep = float(jnp.abs(dep_i - dep_f).max())
     ok = d_rgb < 2e-2 and d_dep < 1e-2
-    ms = time_ms(lambda: run()[0])
+    ms = time_ms(runj)
     bank(f"incr_{kind}", ok, f"max|rgb|={d_rgb:.2e} max|dep|={d_dep:.2e} "
          f"(2000 static + 120 dyn x{B})", ms, note)
 

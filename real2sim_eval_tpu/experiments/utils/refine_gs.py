@@ -112,55 +112,56 @@ def refine(params: dict, ks, w2cs, images, attrs=("colors", "opacities"),
         opac = jax.nn.sigmoid(p["logit_opacities"]).reshape(-1)
         shs = sh_colors_to_coeffs(p["sh_colors"])
         if shared_cam:
-            rgb, _ = rasterize_diff_views(cams[0], w2cs, means, scales,
-                                          quats, opac, shs, sh_degree,
-                                          bg=bg, config=cfg)
-            return jnp.clip(rgb, 0.0, 1.0)
-        outs = []
+            rgb, _, drops = rasterize_diff_views(
+                cams[0], w2cs, means, scales, quats, opac, shs, sh_degree,
+                bg=bg, config=cfg, return_drops=True)
+            return jnp.clip(rgb, 0.0, 1.0), jnp.sum(drops)  # per-view (C,)
+        outs, drops = [], jnp.zeros((), jnp.int32)
         for cam, w2c in zip(cams, w2cs):
-            rgb, _ = rasterize_diff(cam, w2c, means, scales, quats, opac,
-                                    shs, sh_degree, bg=bg, config=cfg)
+            rgb, _, d = rasterize_diff(cam, w2c, means, scales, quats, opac,
+                                       shs, sh_degree, bg=bg, config=cfg,
+                                       return_drops=True)
             outs.append(jnp.clip(rgb, 0.0, 1.0))
-        return jnp.stack(outs)
+            drops = drops + d
+        return jnp.stack(outs), drops
 
     def loss_fn(tr):
-        return jnp.mean((render_all(tr) - targets) ** 2)
-
-    # budget check once up front: truncated pairs would silently truncate
-    # gradients too (diff.py return_drops)
-    p0 = {**frozen, **trainable}
-    drops = 0
-    for cam, w2c in zip(cams, w2cs):
-        _, _, d = rasterize_diff(
-            cam, w2c, p0["means3D"], jnp.exp(p0["log_scales"]),
-            p0["unnorm_rotations"],
-            jax.nn.sigmoid(p0["logit_opacities"]).reshape(-1),
-            sh_colors_to_coeffs(p0["sh_colors"]), sh_degree, bg=bg,
-            config=cfg, return_drops=True)
-        drops += int(d)
-    if drops:
-        raise RuntimeError(
-            f"binning dropped {drops} pairs at max_pairs_factor="
-            f"{max_pairs_factor}; raise --max-pairs-factor (gradients "
-            f"would be silently truncated)")
+        rgb, drops = render_all(tr)
+        return jnp.mean((rgb - targets) ** 2), drops
 
     scale_tree = {k: LR_SCALE[k] for k in trainable}
     opt = optax.adam(lr)
 
     @jax.jit
     def step(tr, opt_state):
-        val, grads = jax.value_and_grad(loss_fn)(tr)
+        # drops ride every iteration as grad aux: binning is RECOMPUTED
+        # from the current geometry each call, so optimizing means/scales/
+        # rotations can outgrow a budget that covered the initial scene —
+        # truncated pairs silently truncate gradients, so any nonzero
+        # count aborts the run (checked host-side at each log point; the
+        # running max below makes intermediate iterations loud too)
+        (val, drops), grads = jax.value_and_grad(loss_fn, has_aux=True)(tr)
         updates, opt_state = opt.update(grads, opt_state, tr)
         updates = {k: u * scale_tree[k] for k, u in updates.items()}
         tr = jax.tree_util.tree_map(lambda p, u: p + u, tr, updates)
-        return tr, opt_state, val
+        return tr, opt_state, val, drops
 
     opt_state = opt.init(trainable)
     history = []
+    drop_max = None
     for i in range(iters):
-        trainable, opt_state, val = step(trainable, opt_state)
+        trainable, opt_state, val, drops = step(trainable, opt_state)
+        drop_max = drops if drop_max is None else jnp.maximum(drop_max,
+                                                              drops)
         if i % log_every == 0 or i == iters - 1:
             v = float(val)
+            nd = int(drop_max)
+            if nd:
+                raise RuntimeError(
+                    f"binning dropped {nd} pairs by iter {i} at "
+                    f"max_pairs_factor={max_pairs_factor}; raise "
+                    f"--max-pairs-factor (gradients would be silently "
+                    f"truncated)")
             history.append(v)
             print(f"iter {i:5d}  loss {v:.6f}", flush=True)
     out = dict(params)

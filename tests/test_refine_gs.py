@@ -69,6 +69,35 @@ def test_refine_recovers_colors(rng):
     np.testing.assert_array_equal(refined["means3D"], true["means3D"])
 
 
+@pytest.mark.slow
+def test_refine_recovers_geometry(rng):
+    """VERDICT round-3 item 7: a misplaced-splat scene recovers positions
+    through the means/scales/rotations gradient surface (the reference's
+    backward.cu:347-656 gradient set, exercised end-to-end through the
+    CLI-facing refine())."""
+    from real2sim_eval_tpu.experiments.utils.refine_gs import refine
+
+    true = make_raw_params(rng, n=12)
+    ks, w2cs, images = make_views(true, h=32, w=256)
+    start = dict(true)
+    shift = rng.normal(size=true["means3D"].shape).astype(np.float32) * 0.03
+    start["means3D"] = true["means3D"] + shift
+    start["log_scales"] = (true["log_scales"]
+                           + rng.normal(size=true["log_scales"].shape)
+                           .astype(np.float32) * 0.2)
+    refined, hist = refine(start, ks, w2cs, images,
+                           attrs=("means", "scales", "rotations"),
+                           iters=150, lr=2e-2, interpret=True,
+                           log_every=50)
+    assert hist[-1] < 0.3 * hist[0], hist
+    err0 = np.linalg.norm(start["means3D"] - true["means3D"], axis=1).mean()
+    err1 = np.linalg.norm(refined["means3D"] - true["means3D"],
+                          axis=1).mean()
+    assert err1 < 0.5 * err0, (err0, err1)
+    # appearance untouched
+    np.testing.assert_array_equal(refined["sh_colors"], true["sh_colors"])
+
+
 def test_refine_rejects_saturated_budget(rng):
     from real2sim_eval_tpu.experiments.utils.refine_gs import refine
 

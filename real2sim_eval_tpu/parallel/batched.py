@@ -40,6 +40,20 @@ from ..renderer.raster import RasterConfig, rasterize
 from ..utils import transforms as tf
 
 
+def _highest_precision(fn):
+    """Trace-time f32 matmul precision for the physics/kinematics/LBS
+    paths: their 3x3 rotation products, 6x6 IK solves, and bone
+    -neighborhood contractions carry real values that the TPU MXU rounds
+    to bf16 at default precision (SURVEY §7: force highest for
+    SVD/physics — the CPU oracle parity tests are f32). The dots are
+    tiny, so the 3-pass split is free; the render pipeline's big 0/1
+    indicator dots are NOT wrapped (bf16-exact already)."""
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 @struct.dataclass
 class BatchedState:
     sm: SpringMassState           # leaves (B, ...)
@@ -215,6 +229,7 @@ class BatchedEvaluator:
                 interpret=jax.default_backend() != "tpu")
 
             @jax.jit
+            @_highest_precision
             def step(state: BatchedState, actions: jax.Array) -> BatchedState:
                 ctrl_b, grasp, grippers = jax.vmap(env_pre)(
                     state.static_pose, state.sm, state.grasp,
@@ -235,6 +250,7 @@ class BatchedEvaluator:
                 return sm, grasp, new_grippers
 
             @jax.jit
+            @_highest_precision
             def step(state: BatchedState, actions: jax.Array) -> BatchedState:
                 sm, grasp, grippers = jax.vmap(env_step)(
                     state.rest_x, state.static_pose, state.sm, state.grasp,
@@ -320,7 +336,7 @@ class BatchedEvaluator:
                               cy=float(k[1][2])), jnp.asarray(e, jnp.float32))
                       for w, h, k, e in self.wrist_cameras]
 
-        self._compose = jax.jit(jax.vmap(compose))
+        self._compose = jax.jit(_highest_precision(jax.vmap(compose)))
 
         raster_backend = rcfg.backend
         if raster_backend == "auto":
@@ -345,6 +361,7 @@ class BatchedEvaluator:
             and (rcfg.incremental == "on"
                  or jax.default_backend() == "tpu"))
 
+        @_highest_precision
         def compose_dyn(rel_pose, x_pred, grippers, qpos7_prev):
             """Dynamic gaussians only: LBS object + articulated robot."""
             means0, quats0, shs0, scales0, opac0 = obj
@@ -399,10 +416,12 @@ class BatchedEvaluator:
         rcfg_wrist = rcfg_mixed = rcfg_static = rcfg_dyn = rcfg
         t_budget, p_mix = rcfg.dirty_budget, rcfg.mix_pairs
         dyn0 = None
+        use_cull = False
         calibrating = (rcfg.auto_budgets and raster_backend == "pallas"
                        and (fixed_cams or wrist_cams))
         if calibrating:
             from ..renderer import calibrate as cal
+            from ..renderer import precull as pc
             from ..renderer.raster import TILE_H, TILE_W
 
             st0 = self.state
@@ -416,7 +435,65 @@ class BatchedEvaluator:
             flist0 = [(cam, jnp.broadcast_to(
                 jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))
                 for cam, w2c in fixed_cams]
-            if wlist0:
+            if use_incremental:
+                dyn0, _ = jax.jit(jax.vmap(compose_dyn))(
+                    st0.rel_pose, st0.sm.x, st0.grippers, st0.qpos7)
+                n_dyn0 = dyn0["means3D"].shape[1]
+                sscene = static_scene()
+            # ---- wrist static pre-cull (renderer/precull.py): the wrist
+            # camera re-runs the full pipeline every step; compacting the
+            # static scene to its camera-visible blocks makes preprocess,
+            # slot emission, and the pair sort scale with visible count
+            # instead of N (pixel-exact — tests/test_precull.py)
+            use_cull = (use_incremental and bool(wlist0)
+                        and rcfg.wrist_precull != "off"
+                        and sscene["means3D"].shape[0] >= 16 * pc.BLOCK)
+            if use_cull:
+                st_w = pc.pad_static_scene(pc.spatial_sort_scene(sscene))
+                cull_centers, cull_radii = pc.block_bounds(
+                    st_w["means3D"], st_w["scales"])
+                # capacity must cover the EPISODE's wrist poses, not just
+                # the init pose: a manipulation eef lifts/translates, and
+                # a lifted wrist sees far more blocks (measured on the
+                # bench scene: 724 visible at init vs 1215 at +0.2 m).
+                # Sweep plausible eef offsets and plan over the union —
+                # margin 1.15 over the sweep max (vs 1.5 over init alone)
+                sweep = [wl for wl in wlist0]
+                for dx, dy, dz in ((0, 0, 0.1), (0, 0, 0.2), (0, 0, -0.1),
+                                   (0.15, 0, 0), (-0.15, 0, 0),
+                                   (0, 0.15, 0), (0, -0.15, 0)):
+                    g_off = st0.grippers[:, :3] + jnp.asarray(
+                        [dx, dy, dz], jnp.float32)
+                    sweep.extend(
+                        (cam, jax.vmap(wrist_w2c_jax,
+                                       in_axes=(None, 0, 0))(
+                            eef2c, g_off, eef_rot0))
+                        for cam, eef2c in wrist_cams)
+                cull_cap = max(
+                    pc.plan_static_cull(wlist0, cull_centers, cull_radii),
+                    pc.plan_static_cull(sweep, cull_centers, cull_radii,
+                                        margin=1.15))
+                g_blocks = st_w["means3D"].shape[0] // pc.BLOCK
+                # a capacity near the whole scene wins nothing — the
+                # gather + concat would be pure overhead
+                if (rcfg.wrist_precull == "auto"
+                        and cull_cap >= int(0.9 * g_blocks)):
+                    use_cull = False
+            if use_cull:
+                # per-camera culled scenes diverge, so each wrist camera
+                # gets its own calibrated budget plan
+                rcfg_wrist = []
+                for cam_i, w2c0_b in wlist0:
+                    culled0, _ = jax.jit(
+                        lambda w, _c=cam_i: pc.cull_static_blocks(
+                            _c, w, st_w, cull_centers, cull_radii,
+                            cull_cap))(w2c0_b)
+                    sc0 = {k: jnp.concatenate([dyn0[k], culled0[k]], axis=1)
+                           for k in dyn0}
+                    rcfg_wrist.append(cal.measure_and_plan(
+                        rcfg, [(cam_i, w2c0_b)], sc0, sh_deg,
+                        sc0["means3D"].shape[1], rcfg.chunk))
+            elif wlist0:
                 rcfg_wrist = cal.measure_and_plan(rcfg, wlist0, scenes0,
                                                   sh_deg, n_all, rcfg.chunk)
             if not use_incremental and (fixed_cams or wrist_cams):
@@ -424,10 +501,6 @@ class BatchedEvaluator:
                                                   scenes0, sh_deg, n_all,
                                                   rcfg.chunk)
             if use_incremental:
-                dyn0, _ = jax.jit(jax.vmap(compose_dyn))(
-                    st0.rel_pose, st0.sm.x, st0.grippers, st0.qpos7)
-                n_dyn0 = dyn0["means3D"].shape[1]
-                sscene = static_scene()
                 sflist = [(cam, jnp.asarray(w2c, jnp.float32)[None])
                           for cam, w2c in fixed_cams]
                 sscene_b = {k: v[None] for k, v in sscene.items()}
@@ -549,7 +622,30 @@ class BatchedEvaluator:
                     t_budget=t_budget, p_mix=p_mix)
                 ims = jnp.swapaxes(rgb_f, 0, 1)
                 depths = jnp.swapaxes(dep_f, 0, 1)
-                if wrist_cams:
+                if wrist_cams and use_cull:
+                    from ..renderer import precull as pc
+                    eef_rot = jax.vmap(tf.quat_to_rot)(state.grippers[:, 6:10])
+                    wims_l, wdep_l, wdrop_l = [], [], []
+                    for i, (cam, eef2c) in enumerate(wrist_cams):
+                        w2c_b = jax.vmap(wrist_w2c_jax, in_axes=(None, 0, 0))(
+                            eef2c, state.grippers[:, :3], eef_rot)
+                        culled, ovf = pc.cull_static_blocks(
+                            cam, w2c_b, st_w, cull_centers, cull_radii,
+                            cull_cap)
+                        sc = {k: jnp.concatenate([dyn[k], culled[k]], axis=1)
+                              for k in dyn}
+                        rgb_w, dep_w, wd = rasterize_batch(
+                            [(cam, w2c_b)], sc, sh_deg,
+                            config=rcfg_wrist[i], return_drops=True)
+                        wims_l.append(rgb_w[0])
+                        wdep_l.append(dep_w[0])
+                        # capacity overflow drops whole 64-splat blocks —
+                        # count them into the loud wrist drop lane
+                        wdrop_l.append(wd[0] + ovf * pc.BLOCK)
+                    wims = jnp.swapaxes(jnp.stack(wims_l), 0, 1)
+                    wdepths = jnp.swapaxes(jnp.stack(wdep_l), 0, 1)
+                    wdrop = jnp.stack(wdrop_l)
+                elif wrist_cams:
                     # wrist moves with the eef: full pipeline on the
                     # [dynamic; static] concatenation (the same global
                     # order the incremental merge reproduces)
@@ -646,6 +742,9 @@ class BatchedEvaluator:
             "rcfg_wrist": rcfg_wrist, "rcfg_mixed": rcfg_mixed,
             "rcfg_static": rcfg_static, "rcfg_dyn": rcfg_dyn,
             "t_budget": t_budget, "p_mix": p_mix,
+            "wrist_precull": ({"cap_blocks": cull_cap,
+                               "total_blocks": g_blocks}
+                              if use_cull else None),
         }
 
         # velocity-control mimic, batched (gs_renderer.py:1115-1166)
@@ -675,6 +774,7 @@ class BatchedEvaluator:
             return out, new_q
 
         @jax.jit
+        @_highest_precision
         def mimic(actions, qpos7s, gripper_counts):
             return jax.vmap(mimic_one)(actions, qpos7s, gripper_counts)
 

@@ -917,7 +917,11 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
             Tinv0 = jax.lax.dynamic_slice_in_dim(
                 Tinv_all, s0, 1, axis=1)[:, 0]                # (Bp, C, 4, 4)
             p = jnp.stack([cxs, cys, czs], axis=-1)           # (Bp, PM, 3)
-            ploc = (jnp.einsum("bcij,bpj->bcpi", Tinv0[..., :3, :3], p)
+            # highest: at TPU default matmul precision the MXU rounds
+            # the ~0.5 m positions to bf16 (~2 mm) — larger than the
+            # 1-5 mm contact margins the SDF samples feed
+            ploc = (jnp.einsum("bcij,bpj->bcpi", Tinv0[..., :3, :3], p,
+                               precision="highest")
                     + Tinv0[:, :, None, :3, 3])
             u = ((ploc - grid_origin[None, :, None])
                  * grid_isp[None, :, None, None])

@@ -81,7 +81,10 @@ def fit_bone_rotations(bones, motions, relations):
     arbitrary — PARITY.md deviation 6)."""
     adj = bones[relations] - bones[:, None]                     # (B, k, 3)
     adj_new = adj + (motions[relations] - motions[:, None])     # (B, k, 3)
-    F = jnp.einsum("bki,bkj->bij", adj_new, adj)                # (B, 3, 3)
+    # highest: TPU default rounds the ~1e-2 m displacement operands to
+    # bf16 on the MXU; the rotation fit feeds every LBS'd splat pose
+    F = jnp.einsum("bki,bkj->bij", adj_new, adj,
+                   precision="highest")                         # (B, 3, 3)
 
     s = jnp.sqrt(jnp.sum(F * F, axis=(-2, -1), keepdims=True)) + 1e-12
     eye = jnp.eye(3, dtype=F.dtype)

@@ -93,6 +93,15 @@ class RasterConfig:
     # (renderer/incremental.py): "auto" enables it on TPU, "on" forces it
     # (e.g. interpret-mode tests), "off" always uses the full pipeline
     incremental: str = "auto"
+    # block-level conservative frustum pre-cull of the STATIC scene for
+    # moving (wrist) cameras (renderer/precull.py): exact preprocess +
+    # binning + sort then scale with the visible count, not N — the
+    # O(visible) binning property of the CUDA rasterizer
+    # (rasterizer_impl.cu:70-111) at static shapes. "auto" enables it
+    # whenever the incremental path calibrates and the static scene is
+    # big enough to matter; pixel-exact vs the unculled pipeline
+    # (tests/test_precull.py), overflow rides the wrist drop telemetry.
+    wrist_precull: str = "auto"        # auto | on | off
     dirty_budget: int = 96             # re-composited tiles per instance
     # merged pair budget per instance: bench peaks at ~25 dirty tiles x
     # ~650 merged pairs; every op in the merge construction scales with

@@ -164,7 +164,9 @@ def _splat_params(pts, colors, scale=0.004, opacity=4.0):
 
 
 def make_synthetic_scene(root, rope_pts=None, ik_urdf=None, seed=0,
-                         n_table=400):
+                         n_table=400,
+                         table_extent=((-0.2, 0.8), (-0.5, 0.5)),
+                         n_obj_dense=0):
     """Write object.ply / scene.ply+mask / clip mesh+splat and return a gs
     config dict mirroring cfg/gs/rope.yaml's schema."""
     from .utils.mesh import make_box, save_obj
@@ -176,7 +178,24 @@ def make_synthetic_scene(root, rope_pts=None, ik_urdf=None, seed=0,
 
     # object: a rope of red splats at the origin (posed into place via cfg)
     pts = make_rope_points(n=300, length=0.3, seed=seed) if rope_pts is None else rope_pts
-    obj = _splat_params(pts, np.tile([[0.8, 0.1, 0.1]], (len(pts), 1)))
+    colors = np.tile([[0.8, 0.1, 0.1]], (len(pts), 1))
+    if n_obj_dense:
+        # scan-scale body splats fleshing out the rope: the reference's
+        # scans LBS ~100k+ object gaussians from ~1000 sim particles
+        # (gs_renderer.py:729-757). Order matters — the FIRST len(pts)
+        # splats stay the sim particles (reset_state takes the first
+        # N_SIM_PARTICLES as LBS bones, gs_renderer.py:239-245); the
+        # dense tube rides the same LBS like any scan splat would.
+        seg = rng.integers(0, len(pts) - 1, n_obj_dense)
+        t = rng.uniform(0.0, 1.0, (n_obj_dense, 1))
+        core = pts[seg] * (1.0 - t) + pts[seg + 1] * t
+        dense = core + rng.normal(scale=0.008, size=core.shape)
+        dcol = np.clip([[0.8, 0.1, 0.1]]
+                       + rng.normal(scale=0.06, size=(n_obj_dense, 3)),
+                       0.0, 1.0)
+        pts = np.concatenate([pts, dense])
+        colors = np.concatenate([colors, dcol])
+    obj = _splat_params(pts, colors)
     save_gaussian_ply(obj, root / "object.ply")
 
     # scene: a table plane (mask 0) + robot splats on the link origins.
@@ -184,10 +203,12 @@ def make_synthetic_scene(root, rope_pts=None, ik_urdf=None, seed=0,
     # with a floor), so dense benchmark scenes get realistic ~3-4 mm splats
     # instead of giant overlapping ones
     nt = n_table
-    table_pts = np.stack([rng.uniform(-0.2, 0.8, nt), rng.uniform(-0.5, 0.5, nt),
+    (x0, x1), (y0, y1) = table_extent
+    table_pts = np.stack([rng.uniform(x0, x1, nt), rng.uniform(y0, y1, nt),
                           np.zeros(nt)], -1)
     mask = np.zeros(nt + 0, np.int32)
-    table_scale = float(np.clip(0.2 / np.sqrt(nt), 0.0035, 0.01))
+    area_per = (x1 - x0) * (y1 - y0) / nt
+    table_scale = float(np.clip(np.sqrt(area_per) * 0.2, 0.0035, 0.01))
     scene_parts = [_splat_params(table_pts, np.tile([[0.4, 0.35, 0.3]], (nt, 1)),
                                  scale=table_scale)]
     masks = [mask]

@@ -58,9 +58,15 @@ KERNEL = "wide"
 # alongside for continuity with rounds 1-2
 N_TABLE_SMALL = 30000
 N_TABLE_BIG = 99000
+# headline dynamic load (VERDICT round-3 weak 3): the LBS'd object is
+# reference-scan-scale — 30k body splats driven by the 1000 sim particles
+# — so LBS, dynamic binning, and the mix-table merge are measured at the
+# size the reference pays (gs_renderer.py:729-757), not fixture scale
+N_OBJ_DENSE_BIG = 30000
 
 
-def build_evaluator(batch, n_table=N_TABLE_SMALL):
+def build_evaluator(batch, n_table=N_TABLE_SMALL, n_obj_dense=0,
+                    wrist_precull="auto"):
     import numpy as np
 
     from real2sim_eval_tpu.parallel import BatchedEvaluator
@@ -73,7 +79,7 @@ def build_evaluator(batch, n_table=N_TABLE_SMALL):
     rope = make_rope_points(n=1000, length=0.4)
     write_fixture_checkpoint(root, "bench_rope", rope, spring_Y=2e3)
     gs = make_synthetic_scene(root / "scans", rope_pts=rope, ik_urdf=None,
-                              n_table=n_table)
+                              n_table=n_table, n_obj_dense=n_obj_dense)
     gs["use_grid_randomization"] = True
     cfg = full_cfg(root, "bench_rope", gs=gs, cameras=CAMERAS,
                    physics_over=dict(dt=5e-5, self_collision=True))
@@ -82,8 +88,9 @@ def build_evaluator(batch, n_table=N_TABLE_SMALL):
 
     backend = "pallas" if jax.default_backend() == "tpu" else "reference"
     ev = BatchedEvaluator(cfg, episode_ids=list(range(batch)),
-                          raster_config=RasterConfig(backend=backend,
-                                                     kernel=KERNEL))
+                          raster_config=RasterConfig(
+                              backend=backend, kernel=KERNEL,
+                              wrist_precull=wrist_precull))
     return ev
 
 
@@ -105,16 +112,18 @@ def time_loop(fn, out_of, n, warmup=1):
     return (time.perf_counter() - t0) / n
 
 
-def golden_path(n_table: int) -> Path:
+def golden_path(n_table: int, n_obj_dense: int = 0) -> Path:
     base = Path(__file__).resolve().parent / "tests" / "golden"
     suffix = "" if KERNEL == "wide" else f"_{KERNEL}"
+    if n_obj_dense:
+        suffix += f"_d{n_obj_dense}"
     if n_table == N_TABLE_SMALL and not suffix:
         return base / "bench_frames.npz"      # pre-dual-size recording
     return base / f"bench_frames{suffix}_{n_table}.npz"
 
 
 def golden_frame_check(ev, write: bool, n_table: int = N_TABLE_SMALL,
-                       tol: float = 2e-2) -> str:
+                       n_obj_dense: int = 0, tol: float = 2e-2) -> str:
     """Pixel assertion with ZERO extra compiles: block-mean downsampled
     env-0 frames (fixed cam 0 + wrist) from the flagship compiled render
     vs a committed golden recording (written by ``--write-golden`` after a
@@ -148,13 +157,13 @@ def golden_frame_check(ev, write: bool, n_table: int = N_TABLE_SMALL,
     if wims.shape[1]:
         frames["wrist0"] = down(wims[0, 0])
     if write:
-        gp = golden_path(n_table)
+        gp = golden_path(n_table, n_obj_dense)
         gp.parent.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(gp, **frames)
         return "written"
-    if not golden_path(n_table).exists():
+    if not golden_path(n_table, n_obj_dense).exists():
         return "no-golden"
-    gold = np.load(golden_path(n_table))
+    gold = np.load(golden_path(n_table, n_obj_dense))
     worst = max(float(np.abs(frames[k] - gold[k]).max())
                 for k in frames if k in gold.files)
     return f"ok(d={worst:.1e})" if worst < tol else f"FAIL(d={worst:.1e})"
@@ -325,10 +334,13 @@ def run_config(args, n_table: int, headline: bool):
     import jax.numpy as jnp
     import numpy as np
 
-    ev = build_evaluator(args.batch, n_table)
+    n_dense = N_OBJ_DENSE_BIG if headline else 0
+    ev = build_evaluator(args.batch, n_table, n_obj_dense=n_dense)
     ev._bench_init_state = ev.state      # golden checks render this state
     B = args.batch
     n_gauss = int(ev.compose_scenes()["means3D"].shape[1])
+    n_dyn = int(ev.obj_means0.shape[0])
+    n_dyn += int((np.asarray(ev.mask) > 0).sum())   # articulated robot rows
     if args.check:
         if not golden_check(ev):
             sys.exit(1)
@@ -337,7 +349,8 @@ def run_config(args, n_table: int, headline: bool):
         print(json.dumps({"metric": "golden_frames",
                           "value": 1,
                           "unit": golden_frame_check(ev, write=True,
-                                                     n_table=n_table),
+                                                     n_table=n_table,
+                                                     n_obj_dense=n_dense),
                           "vs_baseline": 1.0}))
         return
     rot = np.diag([1.0, -1.0, -1.0]).reshape(-1)
@@ -373,7 +386,8 @@ def run_config(args, n_table: int, headline: bool):
                           "unit": f"render drops {drops}, "
                                   f"physics {ev.telemetry()}",
                           "vs_baseline": 0.0}))
-    pix = golden_frame_check(ev, write=False, n_table=n_table)
+    pix = golden_frame_check(ev, write=False, n_table=n_table,
+                             n_obj_dense=n_dense)
     # hard gate (VERDICT round-3 weak 4 / advisor bench.py:376): a pixel
     # regression — or a headline run with no golden on record — must not
     # ship behind a passing exit code. --write-golden is the sanctioned
@@ -388,8 +402,9 @@ def run_config(args, n_table: int, headline: bool):
                    else f"combined_step_render_env_steps_per_s_{n_gauss}g"),
         "value": round(agg, 3),
         "unit": (f"aggregate env-steps/s ({B} lockstep envs, {n_gauss} "
-                 f"gaussians/env; each step = 667 substeps + {n_cams}x "
-                 f"848x480 renders; "
+                 f"gaussians/env = {n_dyn} LBS-dynamic + "
+                 f"{n_gauss - n_dyn} static; each step = 667 substeps + "
+                 f"{n_cams}x 848x480 renders; "
                  f"{per_env:.2f} FPS/env; physics {t_phys*1e3:.0f} ms, "
                  f"render {t_render*1e3:.0f} ms, total {dt*1e3:.0f} ms; "
                  f"drops={n_drop} sat={phys_sat} pixel_check={pix})"),

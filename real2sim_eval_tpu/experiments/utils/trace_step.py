@@ -160,6 +160,12 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--kernel", default="wide", choices=("wide", "fine"),
                     help="compositor variant (bench.py --kernel)")
+    ap.add_argument("--obj-dense", type=int, default=0,
+                    help="LBS'd object body splats (bench headline uses "
+                         "bench.N_OBJ_DENSE_BIG)")
+    ap.add_argument("--precull", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="wrist static pre-cull (A/B: trace off vs auto)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__),
@@ -173,7 +179,9 @@ def main():
     bench.KERNEL = args.kernel
     t0 = time.time()
     ev = bench.build_evaluator(args.batch,
-                               args.gaussians or bench.N_TABLE_SMALL)
+                               args.gaussians or bench.N_TABLE_SMALL,
+                               n_obj_dense=args.obj_dense,
+                               wrist_precull=args.precull)
     print(f"evaluator built in {time.time() - t0:.0f}s", flush=True)
 
     B = args.batch

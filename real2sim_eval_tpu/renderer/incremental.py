@@ -230,13 +230,21 @@ def _merge_core(static, n_tiles: int, cnt_d, bin_tile_starts, tile_d,
     iters = max(static.max_seg, 1).bit_length()
 
     # unrolled: iters is small and static, and a lax loop pays per-trip
-    # scheduling for ~1 gather + 2 selects of work
+    # scheduling for ~1 gather + 2 selects of work.
+    # GUARD every trip on lo < hi: the fixed trip count keeps executing
+    # after convergence, and once lo == hi == ends the probe reads the
+    # NEXT tile's first pair — if that is shallower than d, lo walks past
+    # ends, shifting out_j and corrupting the next slot's first rows
+    # (surfaced by scan-scale dynamic objects whose deepest splats sink
+    # below every static pair of their tile; tests/test_incremental.py
+    # ::test_merge_dyn_deeper_than_all_static)
     for _ in range(iters):
+        active = lo < hi
         mid = (lo + hi) // 2
         v = static.pair_depth[jnp.minimum(mid, p_s - 1)]
-        go = v < depth_d
+        go = active & (v < depth_d)
         lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
+        hi = jnp.where(active & ~go, mid, hi)
     insert = lo
 
     t_safe = jnp.minimum(slot_tile, n_tiles - 1)

@@ -115,6 +115,41 @@ def test_incremental_two_cameras(scene):
     np.testing.assert_array_equal(np.asarray(dep_i[1]), np.asarray(dep2[0]))
 
 
+def test_merge_dyn_deeper_than_all_static(scene):
+    """Regression (round 4): a dynamic pair DEEPER than every static pair
+    of its tile must insert at the segment end. The unrolled merge binary
+    search kept probing after lo == hi == ends, read the NEXT tile's
+    first (shallower) depth, and walked the insert past the segment —
+    shifting out_j and corrupting the next slot's first rows. Surfaced by
+    scan-scale objects whose deepest splats sink below a flat table whose
+    static pairs all tie at one depth."""
+    cam, w2c, _, _ = scene
+    rng = np.random.default_rng(9)
+    # flat static plane: every static pair at EXACTLY the same depth so
+    # a converged search probes ties in the adjacent tile's stream
+    nx, ny = 40, 10
+    gx, gy = np.meshgrid(np.linspace(-0.35, 0.35, nx),
+                         np.linspace(-0.18, 0.18, ny))
+    plane = np.stack([gx.ravel(), gy.ravel(), np.zeros(nx * ny)], -1)
+    static = _gaussians(rng, nx * ny, np.zeros(3), 0.0)
+    static["means3D"] = jnp.asarray(plane, jnp.float32)
+    B = 2
+    dyn1 = _gaussians(rng, 30, np.array([0.0, 0.0, 0.0]), 0.04)
+    # sink the dynamic splats BELOW the plane (deeper than all statics)
+    dyn1["means3D"] = dyn1["means3D"] + jnp.asarray([0.0, 0.0, 0.03])
+    dyn = {k: jnp.stack([v] * B) for k, v in dyn1.items()}
+    dyn["means3D"] = dyn["means3D"] + jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.1, 0.05, 0.01]], jnp.float32)[:, None]
+
+    rgb_f, dep_f = _full_reference(cam, w2c, static, dyn)
+    st = build_static_raster(cam, w2c, static, 0, CFG)
+    rgb_i, dep_i, tele = render_incremental(
+        [(cam, st, w2c)], dyn, 0, CFG, t_budget=96, p_mix=8192)
+    assert (np.asarray(tele[0, :, 1:]) == 0).all()
+    np.testing.assert_array_equal(np.asarray(rgb_i[0]), np.asarray(rgb_f[0]))
+    np.testing.assert_array_equal(np.asarray(dep_i[0]), np.asarray(dep_f[0]))
+
+
 def test_budget_overflow_reported(scene):
     cam, w2c, static, dyn = scene
     st = build_static_raster(cam, w2c, static, 0, CFG)

@@ -479,6 +479,13 @@ class BatchedEvaluator:
                 if (rcfg.wrist_precull == "auto"
                         and cull_cap >= int(0.9 * g_blocks)):
                     use_cull = False
+            # wrist-family base config: the wrist full pipeline may run a
+            # different compositor kernel than the fixed cameras (on-chip
+            # A/B picks per family); calibration dispatches on .kernel
+            rcfg_w0 = rcfg
+            if rcfg.wrist_kernel not in ("inherit", rcfg.kernel):
+                rcfg_w0 = dataclasses.replace(rcfg,
+                                              kernel=rcfg.wrist_kernel)
             if use_cull:
                 # per-camera culled scenes diverge, so each wrist camera
                 # gets its own calibrated budget plan
@@ -491,10 +498,10 @@ class BatchedEvaluator:
                     sc0 = {k: jnp.concatenate([dyn0[k], culled0[k]], axis=1)
                            for k in dyn0}
                     rcfg_wrist.append(cal.measure_and_plan(
-                        rcfg, [(cam_i, w2c0_b)], sc0, sh_deg,
+                        rcfg_w0, [(cam_i, w2c0_b)], sc0, sh_deg,
                         sc0["means3D"].shape[1], rcfg.chunk))
             elif wlist0:
-                rcfg_wrist = cal.measure_and_plan(rcfg, wlist0, scenes0,
+                rcfg_wrist = cal.measure_and_plan(rcfg_w0, wlist0, scenes0,
                                                   sh_deg, n_all, rcfg.chunk)
             if not use_incremental and (fixed_cams or wrist_cams):
                 rcfg_mixed = cal.measure_and_plan(rcfg, flist0 + wlist0,

@@ -76,6 +76,10 @@ class RasterConfig:
     # (pair buffers, grant tiers, rect cap, dirty/mix budgets) from it
     auto_budgets: bool = True
     kernel: str = "wide"               # compositor: wide (8,128) | fine
+    # per-family override: the wrist camera's full pipeline may prefer a
+    # different compositor than the fixed cameras' incremental path
+    # (chosen by on-chip A/B); "inherit" = use `kernel`
+    wrist_kernel: str = "inherit"      # inherit | wide | fine
     # fine-kernel budgets: (8,16)-px tiles multiply per-gaussian rect cells
     # vs the wide kernel's (8,128) tiles, so the dense slot block and the
     # big-rect grant are separate knobs (drops are loud either way)

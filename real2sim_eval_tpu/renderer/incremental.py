@@ -55,6 +55,58 @@ from .tile_kernel import (ATTR, GPR, rasterize_tiles_batch,
 DEPTH_LANE = 9   # depth lives in lane 9 of the packed pair attrs
 
 
+def merge_chunk_size(config: RasterConfig, n_dyn: int, p_mix: int,
+                     n_inst: int, fine: bool = False) -> int:
+    """Instances per merge+composite launch, bounded by live-table bytes.
+
+    Each instance materializes ~(mp_d + p_mix) x ATTR f32 of merge tables
+    (dyn pair attrs + the mix). At scan-scale dynamic objects that is
+    tens of MB per instance — 64 envs x 2 cams at once allocated 22 GB
+    on a 16 GB v5e (round-4 OOM). Chunking instances through the merge +
+    sparse compositor bounds the peak while each chunk still fills the
+    chip (hundreds of dirty tiles x instances per launch)."""
+    if fine:
+        mp_d = (config.fine_pairs_override
+                or int(config.fine_pairs_factor * n_dyn))
+    else:
+        mp_d = (config.max_pairs_override
+                or int(config.max_pairs_factor * n_dyn))
+    per_inst = (mp_d + p_mix) * ATTR * 4
+    return max(1, min(n_inst,
+                      int(config.merge_mem_budget) // max(per_inst, 1)))
+
+
+def chunked_incremental(render_fn, cam_static_w2c, dyn_scenes, sh_degree,
+                        config, t_budget, p_mix, bg, chunk_b: int):
+    """Run ``render_fn`` (render_incremental{,_fine}) over env chunks via
+    lax.map so only one chunk's merge tables are live at a time. The body
+    compiles once; the tail chunk is padded with env 0 and sliced off."""
+    B = dyn_scenes["means3D"].shape[0]
+    n_chunks = -(-B // chunk_b)
+    Bp = n_chunks * chunk_b
+
+    def pad(v):
+        if Bp == B:
+            return v
+        return jnp.concatenate(
+            [v, jnp.broadcast_to(v[:1], (Bp - B,) + v.shape[1:])], axis=0)
+
+    xs = {k: pad(v).reshape((n_chunks, chunk_b) + v.shape[1:])
+          for k, v in dyn_scenes.items()}
+
+    def body(sl):
+        return render_fn(cam_static_w2c, sl, sh_degree, config,
+                         t_budget=t_budget, p_mix=p_mix, bg=bg)
+
+    rgb, dep, tele = jax.lax.map(body, xs)
+
+    def unc(v):                    # (n_chunks, n_cams, chunk_b, ...) ->
+        v = jnp.moveaxis(v, 0, 1)  # (n_cams, B, ...)
+        return v.reshape((v.shape[0], Bp) + v.shape[3:])[:, :B]
+
+    return unc(rgb), unc(dep), unc(tele)
+
+
 def _static_cutoff(attrs, starts, ends, ntx, nty, max_seg,
                    tile_w: int = TILE_W, tile_h: int = TILE_H):
     """Per-tile count of leading static pairs that can EVER contribute.
@@ -382,6 +434,13 @@ def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
     n_dyn = dyn_scenes["means3D"].shape[1]
     p_mix = -(-p_mix // GPR) * GPR
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+    n_inst_all = B * len(cam_static_w2c)
+    chunk_b = max(1, merge_chunk_size(config, n_dyn, p_mix, n_inst_all)
+                  // len(cam_static_w2c))
+    if chunk_b < B:
+        return chunked_incremental(render_incremental, cam_static_w2c,
+                                   dyn_scenes, sh_degree, config,
+                                   t_budget, p_mix, bg, chunk_b)
     shs = dyn_scenes["shs"] if sh_degree > 0 else dyn_scenes["shs"][:, :, :1]
 
     mixes, dids, starts, ends, teles, caches_rgb, caches_dep = \

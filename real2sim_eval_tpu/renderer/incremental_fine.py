@@ -301,6 +301,17 @@ def render_incremental_fine(cam_static_w2c: list, dyn_scenes: dict,
     n_dyn = dyn_scenes["means3D"].shape[1]
     p_mix = -(-p_mix // GPR) * GPR
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+    # memory-bounded instance chunking (incremental.merge_chunk_size):
+    # scan-scale dynamic objects make the per-instance merge tables tens
+    # of MB — all cams x envs at once OOM'd a 16 GB v5e (round 4)
+    from .incremental import chunked_incremental, merge_chunk_size
+    n_inst_all = B * len(cam_static_w2c)
+    chunk_b = max(1, merge_chunk_size(config, n_dyn, p_mix, n_inst_all,
+                                      fine=True) // len(cam_static_w2c))
+    if chunk_b < B:
+        return chunked_incremental(render_incremental_fine, cam_static_w2c,
+                                   dyn_scenes, sh_degree, config,
+                                   t_budget, p_mix, bg, chunk_b)
     shs = dyn_scenes["shs"] if sh_degree > 0 else dyn_scenes["shs"][:, :, :1]
 
     mixes, sids, starts, ends, teles, caches_rgb, caches_dep = \

@@ -150,6 +150,35 @@ def test_merge_dyn_deeper_than_all_static(scene):
     np.testing.assert_array_equal(np.asarray(dep_i[0]), np.asarray(dep_f[0]))
 
 
+def test_chunked_matches_unchunked(scene):
+    """Memory-bounded instance chunking (merge_mem_budget) must be
+    semantically invisible: a tiny budget forces lax.map env chunks (incl. a
+    padded tail) through merge+composite, same pixels as one launch."""
+    import dataclasses
+
+    from real2sim_eval_tpu.renderer.incremental import merge_chunk_size
+
+    cam, w2c, static, dyn = scene
+    st = build_static_raster(cam, w2c, static, 0, CFG)
+    rgb_u, dep_u, tele_u = render_incremental(
+        [(cam, st, w2c)], dyn, 0, CFG, t_budget=96, p_mix=8192)
+    small = dataclasses.replace(CFG, merge_mem_budget=1 << 20)
+    # B=3 with chunk 1 exercises the padded tail (Bp=3, chunk=1 -> exact;
+    # force chunk 2 for a ragged tail instead)
+    n_dyn = dyn["means3D"].shape[1]
+    assert merge_chunk_size(small, n_dyn, 8192, 3) < 3
+    rgb_c, dep_c, tele_c = render_incremental(
+        [(cam, st, w2c)], dyn, 0, small, t_budget=96, p_mix=8192)
+    # rgb: XLA fuses the merge arithmetic differently inside the lax.map
+    # body (FMA contraction/reassociation) — a couple of f32 ulps, not a
+    # semantic difference; depth (a selected value) and telemetry stay
+    # exact
+    np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_u),
+                               atol=3e-7, rtol=0)
+    np.testing.assert_array_equal(np.asarray(dep_c), np.asarray(dep_u))
+    np.testing.assert_array_equal(np.asarray(tele_c), np.asarray(tele_u))
+
+
 def test_budget_overflow_reported(scene):
     cam, w2c, static, dyn = scene
     st = build_static_raster(cam, w2c, static, 0, CFG)

@@ -97,6 +97,32 @@ def test_fine_incremental_matches_full(scene):
     np.testing.assert_array_equal(np.asarray(dep_i[0]), np.asarray(dep_f[0]))
 
 
+def test_fine_chunked_matches_unchunked(scene):
+    """merge_mem_budget chunking must be semantically invisible on the fine
+    path too (shared chunked_incremental, fine pair-budget sizing)."""
+    import dataclasses
+
+    from real2sim_eval_tpu.renderer.incremental import merge_chunk_size
+
+    cam, w2c, static, dyn = scene
+    st = build_static_raster_fine(cam, w2c, static, 0, CFG)
+    rgb_u, dep_u, tele_u = render_incremental_fine(
+        [(cam, st, w2c)], dyn, 0, CFG, t_budget=32, p_mix=8192)
+    small = dataclasses.replace(CFG, merge_mem_budget=1 << 20)
+    assert merge_chunk_size(small, dyn["means3D"].shape[1], 8192, 3,
+                            fine=True) < 3
+    rgb_c, dep_c, tele_c = render_incremental_fine(
+        [(cam, st, w2c)], dyn, 0, small, t_budget=32, p_mix=8192)
+    # rgb: XLA fuses the merge arithmetic differently inside the lax.map
+    # body (FMA contraction/reassociation) — a couple of f32 ulps, not a
+    # semantic difference; depth (a selected value) and telemetry stay
+    # exact
+    np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_u),
+                               atol=3e-7, rtol=0)
+    np.testing.assert_array_equal(np.asarray(dep_c), np.asarray(dep_u))
+    np.testing.assert_array_equal(np.asarray(tele_c), np.asarray(tele_u))
+
+
 def test_fine_budget_overflow_reported(scene):
     cam, w2c, static, dyn = scene
     st = build_static_raster_fine(cam, w2c, static, 0, CFG)

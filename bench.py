@@ -371,16 +371,22 @@ def run_config(args, n_table: int, headline: bool):
     a = np.concatenate([[0.2, 0.0, 0.3], rot, [1.0]])
     actions = jnp.asarray(np.tile(a, (B, 1)), jnp.float32)
 
-    # component: physics only
+    # step with the FLAGSHIP semantics: velocity-control mimic ON (the
+    # reference defaults it on, cfg/env/xarm_gripper.yaml:12 — eval_policy
+    # passes cfg.env.robot.do_velocity_control). Forcing it off teleports
+    # the eef to the target in one control step, which is both dishonest
+    # (no policy run does that) and violent enough to saturate the contact
+    # patch budgets (patch_escapes) on envs whose object sits in the path.
+    # component: physics + mimic (no render)
     t_phys = time_loop(
-        lambda: ev.step(actions, do_velocity_control=False).sm.x,
+        lambda: ev.step(actions).sm.x,
         lambda x: x, args.steps)
     # component: render only (state fixed)
     t_render = time_loop(lambda: ev.render()[0], lambda x: x, args.steps)
 
     # combined
     def one_step():
-        ev.step(actions, do_velocity_control=False)
+        ev.step(actions)
         return ev.observations()["images"]
 
     dt = time_loop(one_step, lambda x: x, args.steps)

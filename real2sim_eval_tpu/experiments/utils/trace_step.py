@@ -176,6 +176,7 @@ def main():
 
     import bench
 
+    bench._enable_compile_cache()   # share compiles with bench.py runs
     bench.KERNEL = args.kernel
     t0 = time.time()
     ev = bench.build_evaluator(args.batch,
@@ -191,7 +192,9 @@ def main():
 
     def one():
         if args.what in ("both", "physics"):
-            ev.step(actions, do_velocity_control=False)
+            # flagship semantics: velocity-control mimic ON (cfg default,
+            # matching bench.py — the reference defaults it on)
+            ev.step(actions)
         if args.what in ("both", "render"):
             return ev.render()[0]
         return ev.state.sm.x

@@ -52,6 +52,7 @@ CAMERAS = [
 
 
 KERNEL = "wide"
+WRIST_KERNEL = "inherit"
 # render-honest scene sizes (VERDICT round-2 item 4): the reference's
 # scans LBS ~100k+ gaussians (sim/renderer/gs_renderer.py:729-757), so the
 # headline number comes from the ~100k scene; the ~31k scene is reported
@@ -90,6 +91,7 @@ def build_evaluator(batch, n_table=N_TABLE_SMALL, n_obj_dense=0,
     ev = BatchedEvaluator(cfg, episode_ids=list(range(batch)),
                           raster_config=RasterConfig(
                               backend=backend, kernel=KERNEL,
+                              wrist_kernel=WRIST_KERNEL,
                               wrist_precull=wrist_precull))
     return ev
 
@@ -469,7 +471,7 @@ def _enable_compile_cache():
 
 def main():
     ap = argparse.ArgumentParser()
-    global KERNEL
+    global KERNEL, WRIST_KERNEL
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--check", action="store_true")
@@ -478,12 +480,18 @@ def main():
                          "against (run --check first to validate pixels)")
     ap.add_argument("--kernel", default=KERNEL,
                     choices=("wide", "fine"))
+    ap.add_argument("--wrist-kernel", default=WRIST_KERNEL,
+                    choices=("inherit", "wide", "fine"),
+                    help="compositor for the wrist family only (A/B: the "
+                         "wrist full pipeline and the fixed incremental "
+                         "path can prefer different kernels)")
     ap.add_argument("--gaussians", type=int, default=0,
                     help="table-splat count for a single-size sweep run; "
                          "0 = the default dual-size run (the ~100k scene "
                          "is the headline, VERDICT round-2 item 4)")
     args = ap.parse_args()
     KERNEL = args.kernel
+    WRIST_KERNEL = args.wrist_kernel
 
     _enable_compile_cache()
     if not check_backend_alive():

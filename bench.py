@@ -117,6 +117,12 @@ def time_loop(fn, out_of, n, warmup=1):
 def golden_path(n_table: int, n_obj_dense: int = 0) -> Path:
     base = Path(__file__).resolve().parent / "tests" / "golden"
     suffix = "" if KERNEL == "wide" else f"_{KERNEL}"
+    # goldens are keyed on the FULL kernel selection: a --wrist-kernel run
+    # composites wrist pixels with a different kernel family, so it must
+    # assert (and record) its own file, never the base kernel's (advisor
+    # round-4: a fine-wrist run would silently overwrite the wide golden)
+    if WRIST_KERNEL not in ("inherit", KERNEL):
+        suffix += f"_w{WRIST_KERNEL}"
     if n_obj_dense:
         suffix += f"_d{n_obj_dense}"
     if n_table == N_TABLE_SMALL and not suffix:
@@ -256,15 +262,19 @@ def wrist_golden_check(ev, one):
     grip = ev.state.grippers[0]
     w2c = wrist_w2c_jax(jnp.asarray(e, jnp.float32), grip[:3],
                         tf.quat_to_rot(grip[6:10]))
+    # the wrist family composites with WRIST_KERNEL when set (advisor
+    # round-4: --check must validate the exact kernel the throughput run
+    # uses, or the wrist-fine combination ships with no pixel assertion)
+    wk = KERNEL if WRIST_KERNEL == "inherit" else WRIST_KERNEL
     cfg_p = calibrated_cfg(
-        RasterConfig(backend="pallas", kernel=KERNEL),
+        RasterConfig(backend="pallas", kernel=wk),
         [(cam, w2c[None])], one, 0)
     rgb_p, depth_p = rasterize_batch([(cam, w2c[None])], one, 0,
                                      config=cfg_p)
     rgb_r, depth_r = rasterize(
         cam, w2c, one["means3D"][0], one["scales"][0],
         one["rotations"][0], one["opacities"][0], one["shs"][0][:, :1], 0,
-        config=RasterConfig(backend="reference", kernel=KERNEL))
+        config=RasterConfig(backend="reference", kernel=wk))
     d_rgb = float(jnp.abs(rgb_p[0, 0] - jnp.clip(rgb_r, 0, 1)).max())
     dep = np.abs(np.asarray(depth_p[0, 0] - depth_r))
     # median depth is discontinuous in alpha (T=0.5 crossing): f16 payload
@@ -352,6 +362,19 @@ def run_config(args, n_table: int, headline: bool):
 
     n_dense = N_OBJ_DENSE_BIG if headline else 0
     ev = build_evaluator(args.batch, n_table, n_obj_dense=n_dense)
+    if (WRIST_KERNEL not in ("inherit", KERNEL)
+            and getattr(ev, "_incremental_debug", None) is None):
+        # the per-family wrist kernel only takes effect on the incremental
+        # (per-family) render path; the mixed one-launch pipeline renders
+        # every camera with the base kernel (advisor round-4: without this
+        # a --wrist-kernel A/B can silently compare wide against wide)
+        print(json.dumps({
+            "metric": "wrist_kernel_ignored", "value": 0,
+            "unit": f"--wrist-kernel {WRIST_KERNEL} has no effect: the "
+                    "incremental path is inactive and the mixed pipeline "
+                    "uses the base kernel — A/B would be vacuous",
+            "vs_baseline": 0.0}), flush=True)
+        sys.exit(1)
     ev._bench_init_state = ev.state      # golden checks render this state
     B = args.batch
     n_gauss = int(ev.compose_scenes()["means3D"].shape[1])
@@ -410,11 +433,18 @@ def run_config(args, n_table: int, headline: bool):
                           "vs_baseline": 0.0}))
     pix = golden_frame_check(ev, write=False, n_table=n_table,
                              n_obj_dense=n_dense)
-    # hard gate (VERDICT round-3 weak 4 / advisor bench.py:376): a pixel
-    # regression — or a headline run with no golden on record — must not
-    # ship behind a passing exit code. --write-golden is the sanctioned
-    # escape for recording a verified change.
+    # hard gates (VERDICT round-3 weak 4 + round-4 item 2): a pixel
+    # regression, a headline run with no golden on record, OR a run that
+    # dropped render pairs / saturated physics budgets must not ship
+    # behind a passing exit code — a number measured while dropping
+    # contacts or under-rendering is not a valid number. The reference
+    # drops nothing, ever (rasterizer_impl.cu:279-311 sizes buffers from
+    # the prefix sum; the Warp path queries the BVH every substep).
+    # --write-golden is the sanctioned escape for recording a verified
+    # change.
     pix_fatal = pix.startswith("FAIL") or (headline and pix == "no-golden")
+    sat_fatal = bool(n_drop or phys_sat)
+    fatal = pix_fatal or sat_fatal
 
     n_cams = len(CAMERAS)
     agg = B / dt
@@ -430,11 +460,11 @@ def run_config(args, n_table: int, headline: bool):
                  f"{per_env:.2f} FPS/env; physics {t_phys*1e3:.0f} ms, "
                  f"render {t_render*1e3:.0f} ms, total {dt*1e3:.0f} ms; "
                  f"drops={n_drop} sat={phys_sat} pixel_check={pix})"),
-        "vs_baseline": (0.0 if pix_fatal
+        "vs_baseline": (0.0 if fatal
                         else round(per_env / TARGET_FPS, 4)),
     }
     print(json.dumps(result), flush=True)
-    if pix_fatal:
+    if fatal:
         sys.exit(1)
 
 

@@ -907,13 +907,25 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
             trc = jnp.zeros((G, opts.num_substeps * C * EPP, 32), jnp.float32)
             dyn_rows = jnp.zeros((Bp, 32), jnp.float32)
 
-        def build_patches(xs, ys, zs, s0):
-            """4^3 SDF patches at chunk-start candidate positions (the
-            TPU-side replacement for per-substep BVH queries; one gathered
-            row per (particle, collider))."""
-            cxs = jnp.take_along_axis(xs, cand, axis=1)
-            cys = jnp.take_along_axis(ys, cand, axis=1)
-            czs = jnp.take_along_axis(zs, cand, axis=1)
+        def build_patches(xs, ys, zs, vxs, vys, vzs, k, s0):
+            """4^3 SDF patches centered on the PREDICTED mid-chunk candidate
+            positions (the TPU-side replacement for per-substep BVH queries;
+            one gathered row per (particle, collider)).
+
+            Centering on x + v*(k*dt/2) instead of the chunk-start position
+            doubles the directed-travel budget before a query escapes its
+            patch (the patch_escapes telemetry lane): a particle moving
+            ballistically stays centered instead of drifting toward the
+            +2-voxel edge. Bitwise-neutral when no escape occurs — trilinear
+            interpolation reads the same global grid cells regardless of
+            which containing patch serves them."""
+            half_h = 0.5 * k * opts.dt
+            cxs = (jnp.take_along_axis(xs, cand, axis=1)
+                   + jnp.take_along_axis(vxs, cand, axis=1) * half_h)
+            cys = (jnp.take_along_axis(ys, cand, axis=1)
+                   + jnp.take_along_axis(vys, cand, axis=1) * half_h)
+            czs = (jnp.take_along_axis(zs, cand, axis=1)
+                   + jnp.take_along_axis(vzs, cand, axis=1) * half_h)
             Tinv0 = jax.lax.dynamic_slice_in_dim(
                 Tinv_all, s0, 1, axis=1)[:, 0]                # (Bp, C, 4, 4)
             p = jnp.stack([cxs, cys, czs], axis=-1)           # (Bp, PM, 3)
@@ -945,7 +957,7 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
         def run_chunk(call, k, carry, s0):
             xs, ys, zs, vxs, vys, vzs, ff = carry
             if has_colliders:
-                pv, og = build_patches(xs, ys, zs, s0)
+                pv, og = build_patches(xs, ys, zs, vxs, vys, vzs, k, s0)
                 trc_c = jax.lax.dynamic_slice_in_dim(
                     trc, s0 * C * EPP, k * C * EPP, axis=1)
             else:

@@ -923,15 +923,22 @@ def select_contact_particles(opts: PhysicsOptions, combo: dict, x, v, ctrl,
         x[None] - centers_w[:, None], axis=-1) - R_bound[:, None])
     d0min = jnp.min(d_sphere, axis=0)
     horizon = opts.num_substeps * opts.dt
-    travel = 2.0 * jnp.max(jnp.linalg.norm(v, axis=-1)) * horizon
+    # PER-PARTICLE travel: reach covers the distance particle i itself can
+    # close toward a collider (2x its own speed x horizon — the reference's
+    # double-integration quirk doubles effective travel). Round 4 used the
+    # GLOBAL max speed, so one fast particle (a contact bounce) inflated
+    # every particle's reach and overflowed the PM budget on exactly the
+    # steps where contact mattered (VERDICT round-4 item 2).
+    travel = 2.0 * jnp.linalg.norm(v, axis=-1) * horizon         # (N,)
     sweep = (jnp.linalg.norm(ctrl.eef_vel)
              + jnp.linalg.norm(ctrl.dyn_lin_vel, axis=-1).max()) * horizon
-    reach = 0.02 + travel + sweep + 0.05
+    d_adj = d0min - travel            # distance after worst-case own travel
+    reach = 0.02 + sweep + 0.05
     pm = min(opts.max_contact_particles, x.shape[0])
     # sort+slice beats top_k for large-M selections on v5e (see
     # compact_candidate_slots)
     d_s, cand = jax.lax.sort(
-        (d0min, jnp.arange(x.shape[0], dtype=jnp.int32)),
+        (d_adj, jnp.arange(x.shape[0], dtype=jnp.int32)),
         num_keys=1, is_stable=True)
     d_s, cand = d_s[:pm], cand[:pm]
     cand_ok = d_s < reach
@@ -939,7 +946,7 @@ def select_contact_particles(opts: PhysicsOptions, combo: dict, x, v, ctrl,
     # exists to be conservative about candidate gating, but counting
     # slack-only particles as "dropped" cries wolf on every scene where a
     # large collider's bounding sphere grazes the object
-    n_in_reach = jnp.sum(d0min < reach - 0.05)
+    n_in_reach = jnp.sum(d_adj < reach - 0.05)
     n_dropped = jnp.maximum(n_in_reach - pm, 0).astype(jnp.int32)
     return cand, cand_ok, n_dropped
 

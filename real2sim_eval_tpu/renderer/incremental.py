@@ -20,20 +20,36 @@ So, per fixed camera:
     - a tile is DIRTY iff it receives >= 1 dynamic pair; clean tiles keep
       their cached pixels (their pair set is IDENTICAL to the static-only
       render, so the result is exact by construction, not an approximation)
-    - for each dirty tile, merge the static segment with the dynamic pairs
-      by view depth (vectorized per-pair binary search into the static
-      stream) and gather the merged slice into a compact mix table
+    - merge BY SORT: compact the dirty tiles' truncated static segments
+      into a fill stream (seeded-cummax index construction, one shared
+      -source row gather), then ONE lax.sort of [static fill; dynamic
+      pairs] keyed (tile, depth, origin-flag) carrying the 10 attr lanes
+      as payloads — the sorted payloads ARE the merged pair table
     - one sparse Pallas launch re-composites the dirty tiles in place on
       top of the cached frames (tile_kernel.rasterize_tiles_sparse)
 
+The round-4 merge computed insert positions with a per-dynamic-pair
+binary search into the static stream and materialized the mix via
+gather + scatter; at scan-scale dynamic objects (30k splats, 221k pair
+slots/instance) the search gathers and the mix materialization were 77%
+of the whole step (round-5 trace). The sort rides the TPU's one fast
+irregular-data mechanism (~2 ns/key/lane) and needs no insert positions
+at all.
+
 Ordering parity: the full-sort path orders equal-depth pairs by gaussian
-index (stable argsort). The merge inserts dynamic pairs BEFORE equal-depth
-static pairs, which matches the full sort of a scene concatenated
-[dynamic; static] — tests compare against exactly that ordering.
+index (stable argsort of the [dynamic; static] concatenation). The merge
+sort's key is (tile, depth, flag) with flag = stream position for dynamic
+pairs and 2^30 + stream position for static pairs — at equal (tile,
+depth) every dynamic pair precedes every static pair (dyn indices come
+first in the concat) and pairs of one stream keep their own stable order,
+which IS the full sort's order. Tests compare bitwise against exactly
+that ordering.
 
 Static budgets (both report their drops, binning.py's
 no-silent-under-render rule): ``t_budget`` dirty tiles per instance and
-``p_mix`` merged pairs per instance; overflow counts are telemetry.
+``p_mix`` static-fill pairs per instance (dynamic pairs always fit — the
+binning buffer already bounds and reports them); overflow counts are
+telemetry.
 """
 
 from __future__ import annotations
@@ -44,6 +60,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .binning import N_PAY as N_LANES
 from .binning import bin_gaussians
 from .camera import Camera
 from .preprocess import preprocess_gaussians
@@ -59,19 +76,18 @@ def merge_chunk_size(config: RasterConfig, n_dyn: int, p_mix: int,
                      n_inst: int, fine: bool = False) -> int:
     """Instances per merge+composite launch, bounded by live-table bytes.
 
-    Each instance materializes ~(mp_d + p_mix) x ATTR f32 of merge tables
-    (dyn pair attrs + the mix). At scan-scale dynamic objects that is
-    tens of MB per instance — 64 envs x 2 cams at once allocated 22 GB
-    on a 16 GB v5e (round-4 OOM). Chunking instances through the merge +
-    sparse compositor bounds the peak while each chunk still fills the
-    chip (hundreds of dirty tiles x instances per launch)."""
+    Each instance's merge sort holds ~(p_mix + mp_d) rows x (3 keys + 10
+    payload lanes) f32, double-buffered, plus the packed kernel table
+    (GPR*ATTR lanes / 8 pairs). At scan-scale dynamic objects that is
+    tens of MB per instance; chunking instances through merge + sparse
+    compositor bounds the peak while each chunk still fills the chip."""
     if fine:
         mp_d = (config.fine_pairs_override
                 or int(config.fine_pairs_factor * n_dyn))
     else:
         mp_d = (config.max_pairs_override
                 or int(config.max_pairs_factor * n_dyn))
-    per_inst = (mp_d + p_mix) * ATTR * 4
+    per_inst = (mp_d + p_mix) * (13 * 4 * 2 + ATTR * 4)
     return max(1, min(n_inst,
                       int(config.merge_mem_budget) // max(per_inst, 1)))
 
@@ -167,6 +183,7 @@ class StaticRaster:
 
     data_pairs: jax.Array     # (P_s, ATTR) depth-sorted-per-tile attr rows
     pair_depth: jax.Array     # (P_s,) view depth per static pair
+    pair_tile: jax.Array      # (P_s,) i32 tile id per pair (pad: n_tiles)
     starts: jax.Array         # (n_tiles,) pair range per tile
     ends: jax.Array           # (n_tiles,)
     rgb_cache: jax.Array      # (3, h_pad + TILE_H, w_pad) incl. junk row
@@ -244,7 +261,7 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
     ends_trunc = bins["tile_starts"] + k_sat
     max_seg = int(jax.device_get(jnp.max(k_sat)))
     return StaticRaster(
-        data_pairs=attrs, pair_depth=depth,
+        data_pairs=attrs, pair_depth=depth, pair_tile=bins["pair_tile"],
         starts=bins["tile_starts"], ends=ends_trunc,
         rgb_cache=jnp.pad(rgb[0], ((0, 0),) + pad[1:]),
         depth_cache=jnp.pad(dep[0], pad[1:]),
@@ -252,52 +269,54 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
         height=cam.height, width=cam.width)
 
 
-def _merge_core(static, n_tiles: int, cnt_d, bin_tile_starts, tile_d,
-                d_attr, slot_tile, real, inb_t, p_mix: int):
+def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
+                slot_tile, real, inb_t, p_stat: int,
+                pack_sort: bool = False):
     """Tile-size-agnostic merge of dynamic pairs into frozen static streams.
 
     Shared by the wide path (slots = dirty tiles) and the fine-sparse path
-    (slots = the 8 fine tiles of each dirty supertile — possibly with NO
-    dynamic pairs of their own). Args:
-      static: StaticRaster-like (starts, ends, pair_depth, data_pairs,
-        max_seg) over ``n_tiles`` tiles.
+    (slots = the dirty fine tiles of each dirty supertile). Merge BY SORT:
+
+      1. compact the participating tiles' truncated static segments into a
+         fill stream of capacity ``p_stat`` (seeded-cummax index
+         construction — the static index at position p of slot d is
+         A_d + p with A_d = starts_s[t_d] - off_d, non-decreasing over
+         ascending real slots, so one scatter + cummax recovers it), then
+         ONE shared-source row gather materializes the fill;
+      2. ONE lax.sort of [static fill; dynamic pairs] keyed
+         (tile, depth, flag) with the 10 attr lanes as payloads. flag =
+         own-stream position for dynamic pairs, 2^30 + position for
+         static — at equal (tile, depth) every dynamic pair precedes
+         every static pair and each stream keeps its stable order, which
+         is EXACTLY the full pipeline's stable depth argsort of the
+         [dynamic; static] concatenation.
+
+    Args:
+      static: StaticRaster-like (starts, ends, pair_depth, pair_tile,
+        data_pairs) over ``n_tiles`` tiles (ends already truncated at the
+        saturation cutoff).
       cnt_d: (n_tiles,) dynamic pair count per tile.
-      bin_tile_starts: (n_tiles,) dynamic stream starts per tile.
-      tile_d / d_attr: (P_d,) sorted dynamic pair tiles + (P_d, ATTR) rows.
+      tile_d: (P_d,) sorted dynamic pair tile ids (sentinel n_tiles).
+      d_lanes: list of 10 (P_d,) f32 dynamic attr lanes (binning payload
+        order; depth = lane 9).
       slot_tile: (n_slots,) ascending tile ids to re-composite (sentinels
         >= n_tiles).
-      real: (n_slots,) slot_tile < n_tiles.
-      inb_t: (n_tiles,) tile belongs to an in-budget slot.
-    Returns (mix (p_mix, ATTR), starts_m, ends_m, total, off).
+      real: (n_slots,) slot participates (tile valid AND, on the fine
+        path, actually dirty).
+      inb_t: (n_tiles,) tile belongs to an in-budget, participating slot.
+      pack_sort: f16-pack the 8 non-xy payload lanes through the sort
+        (production; ~5e-4 relative attr error, order unaffected — the
+        keys stay f32/i32). Exactness tests run unpacked.
+    Returns (lanes [10 x (p_stat + P_d,)], starts_m, ends_m, total,
+    n_stat_dropped).
+
+    Degraded-loud contract: when the static fill demand exceeds
+    ``p_stat``, the fill keeps its PREFIX (slots up to the overflow point
+    stay exact) and later participating tiles compose without some static
+    rows; ``n_stat_dropped`` reports it and the bench gate fails the run.
     """
     p_s = static.data_pairs.shape[0]
     p_d = tile_d.shape[0]
-    depth_d = d_attr[:, DEPTH_LANE]
-    valid_d = tile_d < n_tiles
-
-    # --- merged insert position: leftmost static pair with depth >= d ----
-    t_cl = jnp.minimum(tile_d, n_tiles - 1)
-    lo = static.starts[t_cl]
-    hi = static.ends[t_cl]
-    iters = max(static.max_seg, 1).bit_length()
-
-    # unrolled: iters is small and static, and a lax loop pays per-trip
-    # scheduling for ~1 gather + 2 selects of work.
-    # GUARD every trip on lo < hi: the fixed trip count keeps executing
-    # after convergence, and once lo == hi == ends the probe reads the
-    # NEXT tile's first pair — if that is shallower than d, lo walks past
-    # ends, shifting out_j and corrupting the next slot's first rows
-    # (surfaced by scan-scale dynamic objects whose deepest splats sink
-    # below every static pair of their tile; tests/test_incremental.py
-    # ::test_merge_dyn_deeper_than_all_static)
-    for _ in range(iters):
-        active = lo < hi
-        mid = (lo + hi) // 2
-        v = static.pair_depth[jnp.minimum(mid, p_s - 1)]
-        go = active & (v < depth_d)
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(active & ~go, mid, hi)
-    insert = lo
 
     t_safe = jnp.minimum(slot_tile, n_tiles - 1)
     len_s = jnp.where(real, static.ends[t_safe] - static.starts[t_safe], 0)
@@ -307,88 +326,93 @@ def _merge_core(static, n_tiles: int, cnt_d, bin_tile_starts, tile_d,
     off = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
     total = csum[-1]
 
-    # --- dynamic pairs -> mix slots ---------------------------------------
-    # slot order == ascending tile order, so per-TILE offset/membership
-    # arrays replace the per-pair searchsorted into the slot list (traced
-    # at 43 ms/step): one packed (n_tiles,) cumsum + ONE gather per pair.
-    # off_neg[t] = mix offset of tile t's slot, or -1 if not re-composited.
-    len_t = jnp.where(inb_t,
-                      (static.ends - static.starts) + cnt_d, 0)
-    off_t = jnp.cumsum(len_t) - len_t
-    off_neg = jnp.where(inb_t, off_t, -1)
-    off_pair = off_neg[t_cl]
-    in_budget = (off_pair >= 0) & valid_d
-    j_idx = jnp.arange(p_d, dtype=jnp.int32)
-    out_j = (off_pair + (insert - static.starts[t_cl])
-             + (j_idx - bin_tile_starts[t_cl]))
-    ok_j = in_budget & (out_j < p_mix)
-    tgt = jnp.where(ok_j, out_j, p_mix)                      # drop slot
-    mark = jnp.zeros((p_mix,), jnp.int32).at[tgt].set(1, mode="drop")
-
-    # --- static fill between the inserted dynamic pairs -------------------
-    # the static index at position p of slot d is
-    #   s_idx(p) = starts_s[t_d] + (p - off_d) - (c_ex(p) - c_ex(off_d))
-    #            = A_d + p - c_ex(p),  A_d = starts_s[t_d] - off_d + c_ex(off_d)
-    # A is NON-DECREASING over ascending real slots (A_{d+1} - A_d equals
-    # the static-stream gap starts_s[t_{d+1}] - ends_s[t_d] >= 0), so a
-    # scatter of A at each slot's start offset + a cummax forward-fill
-    # replaces per-position slot lookups (log-depth gathers over p_mix
-    # rows, serialized on TPU). Zero-LENGTH slots (fine-sparse: a clean,
-    # static-empty fine tile of a dirty supertile) share their seed offset
-    # with the next slot; .at[].max + non-decreasing A keeps the owner of
-    # each position correct (the positive-length slot is last in any
-    # equal-offset run). Sentinel slots seed -BIG which never wins.
-    pos = jnp.arange(p_mix, dtype=jnp.int32)
-    c_ex = jnp.cumsum(mark) - mark                           # dyn slots < p
-    off_cl = jnp.minimum(off, p_mix - 1)
+    # --- static fill (compact the participating truncated segments) -------
+    csum_s = jnp.cumsum(len_s)
+    off_s = jnp.concatenate([jnp.zeros((1,), csum_s.dtype), csum_s[:-1]])
+    total_s = csum_s[-1]
+    pos = jnp.arange(p_stat, dtype=jnp.int32)
     big = jnp.int32(1 << 30)
-    a_slot = static.starts[t_safe] - off + jnp.take(c_ex, off_cl)
-    # slots fully past the pair budget route to the drop index p_mix:
-    # clamping them to p_mix-1 could beat the legitimate seed there and
-    # compose a wrong static row at the last in-budget tile's final mix
-    # position (an already-degraded regime, but keep it sane)
-    seed_idx = jnp.where(off < p_mix, off, p_mix)
-    seeded = jnp.full((p_mix,), -big, jnp.int32).at[seed_idx].max(
+    a_slot = static.starts[t_safe] - off_s
+    # zero-length slots share their seed offset with the next slot;
+    # .at[].max + non-decreasing A keeps the owner of each position
+    # correct (the positive-length slot is last in any equal-offset run).
+    # Sentinel slots seed -BIG which never wins; slots past the fill
+    # budget route to the drop index p_stat.
+    seed_idx = jnp.where(off_s < p_stat, off_s, p_stat)
+    seeded = jnp.full((p_stat,), -big, jnp.int32).at[seed_idx].max(
         jnp.where(real, a_slot, -big), mode="drop")
     a_at = jax.lax.cummax(seeded)
-    s_idx = a_at + pos - c_ex
-    in_use = (pos < total) & (s_idx >= 0) & (mark == 0)
+    s_idx = a_at + pos
+    in_use = (pos < jnp.minimum(total_s, p_stat)) & (s_idx >= 0)
+    s_cl = jnp.clip(s_idx, 0, p_s - 1)
+    rows_s = jnp.where(in_use[:, None], static.data_pairs[s_cl], 0.0)
+    tile_s = jnp.where(in_use, static.pair_tile[s_cl], n_tiles)
+    depth_s = jnp.where(in_use, rows_s[:, DEPTH_LANE], jnp.inf)
+    flag_s = jnp.where(in_use, big + s_idx, big + big // 2)
 
-    # materialize the mix: static rows come from the SHARED frozen table
-    # (shared-source gathers run ~3 ns/row vs ~35 ns/row for a
-    # batched-source table under vmap), then the dynamic attr rows are
-    # row-scattered onto their slots (~7 ns/row over just P_d rows) —
-    # together an order of magnitude cheaper than gathering every mix row
-    # from a per-env concatenated [static; dynamic] table.
-    mix = jnp.where(in_use[:, None],
-                    static.data_pairs[jnp.clip(s_idx, 0, p_s - 1)], 0.0)
-    mix = mix.at[tgt].set(d_attr, mode="drop")               # (p_mix, ATTR)
+    # --- dynamic side (already sorted by [tile | depth rank]) --------------
+    t_cl = jnp.minimum(tile_d, n_tiles - 1)
+    gate_d = (tile_d < n_tiles) & inb_t[t_cl]
+    tile_d_g = jnp.where(gate_d, tile_d, n_tiles)
+    depth_d = jnp.where(gate_d, d_lanes[DEPTH_LANE], jnp.inf)
+    flag_d = jnp.arange(p_d, dtype=jnp.int32)
 
-    starts_m = jnp.minimum(off, p_mix).astype(jnp.int32)
-    ends_m = jnp.minimum(off + length, p_mix).astype(jnp.int32)
-    return mix, starts_m, ends_m, total, off
+    # --- ONE merge sort ----------------------------------------------------
+    k_tile = jnp.concatenate([tile_s, tile_d_g]).astype(jnp.int32)
+    k_depth = jnp.concatenate([depth_s, depth_d]).astype(jnp.float32)
+    k_flag = jnp.concatenate([flag_s, flag_d]).astype(jnp.int32)
+    pay = [jnp.concatenate([rows_s[:, a], d_lanes[a]])
+           for a in range(N_LANES)]
+    if pack_sort:
+        # payload lanes dominate the sort cost (~2 ns/lane/key): x/y stay
+        # f32 (sub-pixel conic accuracy), the other 8 ride as 4 f16-packed
+        # u32 lanes. Order is UNAFFECTED — the keys stay f32/i32 — so the
+        # merge tie rule holds exactly even packed (unlike the round-4
+        # rank-quantization constraint that forced this path unpacked).
+        from .binning import pack_f16_lane, unpack_f16_lane
+        packed = [pack_f16_lane(pay[a], pay[a + 1])
+                  for a in range(2, N_LANES, 2)]
+        out = jax.lax.sort((k_tile, k_depth, k_flag, pay[0], pay[1],
+                            *packed), num_keys=3, is_stable=False)
+        lanes = list(out[3:5])
+        for p in out[5:]:
+            a, b = unpack_f16_lane(p)
+            lanes += [a, b]
+    else:
+        out = jax.lax.sort((k_tile, k_depth, k_flag, *pay),
+                           num_keys=3, is_stable=False)
+        lanes = list(out[3:])
+
+    cap = p_stat + p_d
+    starts_m = jnp.minimum(off, cap).astype(jnp.int32)
+    ends_m = jnp.minimum(off + length, cap).astype(jnp.int32)
+    n_stat_drop = jnp.maximum(total_s - p_stat, 0)
+    return lanes, starts_m, ends_m, total, n_stat_drop
 
 
 def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
-                   config: RasterConfig, t_budget: int, p_mix: int):
+                   config: RasterConfig, t_budget: int, p_stat: int):
     """Per-env merge of the dynamic pairs into the static stream.
 
-    Returns (mix_attrs (p_mix, ATTR), dirty_ids (t_budget,),
+    Returns (mix_lanes [10 x (p_stat + P_d,)], dirty_ids (t_budget,),
     starts/ends (t_budget,), telemetry (4,) i32 =
-    [n_dirty, dropped_tiles, dropped_pairs, binning_dropped])."""
+    [n_dirty, dropped_tiles, static_fill_dropped, binning_dropped])."""
     ntx, nty = static.n_tiles_x, static.n_tiles_y
     n_tiles = ntx * nty
     max_pairs_d = (config.max_pairs_override
                    or int(config.max_pairs_factor * n_dyn))
     max_pairs_d = -(-max_pairs_d // GPR) * GPR
 
+    # dyn binning may pack payloads (the merge sort's ORDER now comes from
+    # explicit f32/i32 keys, so lane quantization no longer perturbs the
+    # tie rule; exactness tests run with pack_payloads=False throughout)
     bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
                          config.max_tiles_per_gaussian,
                          small_tiles=config.small_tiles,
-                         max_large=config.max_large, pack_payloads=False,
+                         max_large=config.max_large,
+                         pack_payloads=config.pack_payloads,
                          mid_tiles=config.mid_tiles,
                          max_mid=config.max_mid)
-    d_attr = gather_pair_attrs(pre, bins, n_dyn)             # (P_d, ATTR)
 
     # --- dirty tiles, compacted ascending ---------------------------------
     cnt_d = bins["tile_ends"] - bins["tile_starts"]          # (n_tiles,)
@@ -401,14 +425,26 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     d_rank = jnp.cumsum(dirty.astype(jnp.int32)) - dirty.astype(jnp.int32)
     inb_t = dirty & (d_rank < t_budget)
 
-    mix, starts_m, ends_m, total, _ = _merge_core(
-        static, n_tiles, cnt_d, bins["tile_starts"], bins["pair_tile"],
-        d_attr, dirty_ids, real, inb_t, p_mix)
-    over_pairs = jnp.maximum(total - p_mix, 0)
+    lanes, starts_m, ends_m, total, n_stat_drop = _merge_core(
+        static, n_tiles, cnt_d, bins["pair_tile"], bins["pair_lanes"],
+        dirty_ids, real, inb_t, p_stat,
+        pack_sort=config.pack_payloads)
     over_tiles = jnp.maximum(n_dirty - t_budget, 0)
-    tele = jnp.stack([n_dirty, over_tiles, over_pairs,
+    tele = jnp.stack([n_dirty, over_tiles, n_stat_drop,
                       bins["n_large_dropped"]]).astype(jnp.int32)
-    return mix, dirty_ids, starts_m, ends_m, tele
+    return lanes, dirty_ids, starts_m, ends_m, tele
+
+
+def pack_lanes_wide(lanes) -> jax.Array:
+    """10 merged lane arrays (P,) -> (P/8, 128) pair-major packed rows
+    (lane = ATTR*j + a, the wide kernel's layout) via one transposing
+    lax.reshape — no (P, 16) intermediate (attr-minor layouts tile 16
+    lanes into 128 under vmap: 8x padded HBM)."""
+    p = lanes[0].shape[0]
+    assert p % GPR == 0
+    lanes16 = list(lanes) + [jnp.zeros_like(lanes[0])] * (ATTR - len(lanes))
+    a = jnp.stack(lanes16, axis=0).reshape(ATTR, p // GPR, GPR)
+    return jax.lax.reshape(a, (p // GPR, GPR * ATTR), dimensions=(1, 2, 0))
 
 
 def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
@@ -421,10 +457,12 @@ def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
       cam_static_w2c: list of (Camera, StaticRaster, w2c (4,4)) per fixed
         camera (all same resolution).
       dyn_scenes: dict of stacked (B, N_dyn, ...) DYNAMIC gaussians only.
+      p_mix: static-fill capacity per instance (the dynamic pairs always
+        fit — their binning buffer bounds and reports them).
     Returns:
       (rgb (n_cams, B, 3, h, w) clipped, depth (n_cams, B, h, w),
-       telemetry (n_cams, B, 4) i32 [n_dirty, dropped_tiles, dropped_pairs,
-       binning_dropped])
+       telemetry (n_cams, B, 4) i32 [n_dirty, dropped_tiles,
+       static_fill_dropped, binning_dropped])
     """
     assert cam_static_w2c
     cam0, st0, _ = cam_static_w2c[0]
@@ -442,6 +480,10 @@ def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
                                    dyn_scenes, sh_degree, config,
                                    t_budget, p_mix, bg, chunk_b)
     shs = dyn_scenes["shs"] if sh_degree > 0 else dyn_scenes["shs"][:, :, :1]
+    max_pairs_d = (config.max_pairs_override
+                   or int(config.max_pairs_factor * n_dyn))
+    max_pairs_d = -(-max_pairs_d // GPR) * GPR
+    cap = p_mix + max_pairs_d                     # merged rows per instance
 
     mixes, dids, starts, ends, teles, caches_rgb, caches_dep = \
         [], [], [], [], [], [], []
@@ -452,7 +494,9 @@ def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
                 _w2c=jnp.asarray(w2c, jnp.float32)):
             pre = preprocess_gaussians(_cam, _w2c, means, scales, quats,
                                        opac, sh, sh_degree)
-            return _merge_one_env(_st, pre, n_dyn, config, t_budget, p_mix)
+            lanes, d, s, e, t = _merge_one_env(_st, pre, n_dyn, config,
+                                               t_budget, p_mix)
+            return pack_lanes_wide(lanes), d, s, e, t
 
         m, d, s, e, t = jax.vmap(one)(
             dyn_scenes["means3D"], dyn_scenes["scales"],
@@ -467,10 +511,10 @@ def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
         caches_dep.append(jnp.broadcast_to(
             static.depth_cache[None], (B,) + static.depth_cache.shape))
 
-    mix = jnp.concatenate(mixes, axis=0)          # (I, p_mix, ATTR)
+    mix = jnp.concatenate(mixes, axis=0)          # (I, cap/8, 128)
     n_inst = mix.shape[0]
     data = mix.reshape(-1, GPR * ATTR)
-    inst_off = (jnp.arange(n_inst, dtype=jnp.int32) * p_mix)[:, None]
+    inst_off = (jnp.arange(n_inst, dtype=jnp.int32) * cap)[:, None]
     starts = jnp.concatenate(starts, axis=0) + inst_off
     ends = jnp.concatenate(ends, axis=0) + inst_off
     dirty_ids = jnp.concatenate(dids, axis=0)

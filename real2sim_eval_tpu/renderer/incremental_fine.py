@@ -12,13 +12,19 @@ pairs.
 
 Grouping is by SUPERTILE (not by stream length as in the full-frame fine
 path): a dirty supertile's 8 fine tiles form one launch whose (8,128)
-output block fully overwrites the cached block in place (the same
+output block overwrites the cached block in place (the same
 BlockSpec-aliasing trick as tile_kernel.rasterize_tiles_sparse, junk pad
-row for sentinels) — no scatter pass, no partial-block writes. Fine
-tiles of a dirty supertile that received NO dynamic pairs re-composite
-from their pure static stream, which is bitwise the cached content, so
-whole-block overwrite is exact. Intra-supertile stream-length divergence
-is the padding cost this trades for scatter-free output.
+row for sentinels) — no scatter pass, no partial-block writes.
+
+Dirtiness is per FINE tile (round 5): fine tiles of a dirty supertile
+that received NO dynamic pairs get an EMPTY merged stream and the kernel
+writes their lanes through from the cached block (read via the aliased
+input block — already resident in VMEM) instead of re-walking their
+static segment. At scan-scale dynamic objects this cuts the merged
+static fill by the clean-lane fraction of each dirty supertile
+(round 4 re-walked all 8 fine streams per dirty supertile). Exactness is
+unchanged: a clean fine tile's cached pixels ARE its static-only
+composite.
 
 Reference semantics preserved: cuda_rasterizer/forward.cu:262-394 (via
 fine_kernel.py's compositing loop).
@@ -63,6 +69,7 @@ class StaticRasterFine:
 
     data_pairs: jax.Array     # (P_s, ATTR) fine-tile-sorted attr rows
     pair_depth: jax.Array     # (P_s,) view depth per static pair
+    pair_tile: jax.Array      # (P_s,) i32 fine-tile id (pad: n_fine)
     starts: jax.Array         # (n_fine,) pair range per FINE tile
     ends: jax.Array           # (n_fine,)
     rgb_cache: jax.Array      # (3, h_pad + SUP_H, w_pad) incl. junk row
@@ -130,7 +137,7 @@ def build_static_raster_fine(cam: Camera, w2c, scene: dict, sh_degree: int,
     max_seg = int(jax.device_get(jnp.max(k_sat)))
     pad = ((0, SUP_H), (0, 0))
     return StaticRasterFine(
-        data_pairs=attrs, pair_depth=depth,
+        data_pairs=attrs, pair_depth=depth, pair_tile=bins["pair_tile"],
         starts=bins["fine_starts"], ends=ends_trunc,
         rgb_cache=jnp.pad(rgb[0], ((0, 0),) + pad),
         depth_cache=jnp.pad(dep[0], pad),
@@ -139,11 +146,14 @@ def build_static_raster_fine(cam: Camera, w2c, scene: dict, sh_degree: int,
 
 
 def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
-                        config: RasterConfig, s_budget: int, p_mix: int):
-    """Per-env merge at fine granularity, slots = 8 fine tiles per dirty
-    supertile. Returns (mix (p_mix, ATTR), slot fine ids (s_budget*8,),
-    starts/ends (s_budget*8,), telemetry (4,) i32 = [n_dirty_super,
-    dropped_supertiles, dropped_pairs, binning_dropped])."""
+                        config: RasterConfig, s_budget: int, p_stat: int):
+    """Per-env merge at fine granularity: launches are per dirty
+    SUPERTILE (8 fine-stream slots each) but only its DIRTY fine tiles
+    get merged streams — clean fine tiles keep start == end and the
+    sparse kernel passes their cached lanes through. Returns (mix_lanes
+    [10 x (p_stat + P_d,)], slot fine ids (s_budget*8,), starts/ends
+    (s_budget*8,), telemetry (4,) i32 = [n_dirty_super,
+    dropped_supertiles, static_fill_dropped, binning_dropped])."""
     nsx, nsy = static.n_super_x, static.n_super_y
     n_super = nsx * nsy
     n_fine = n_super * GROUPS
@@ -151,14 +161,16 @@ def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
                    or int(config.fine_pairs_factor * n_dyn))
     max_pairs_d = -(-max_pairs_d // GPR) * GPR
 
+    # dyn binning may pack payloads: the merge sort's order comes from
+    # explicit f32/i32 keys now (see incremental._merge_core)
     bins = bin_gaussians_fine(pre, nsx, nsy, max_pairs_d,
                               small_tiles=config.fine_small_tiles,
                               max_tiles_per_gaussian=config.fine_max_tiles,
                               max_large=config.max_large,
-                              pack_payloads=False)
-    d_attr = _lanes_to_attr_rows(bins["pair_lanes"])          # (P_d, ATTR)
+                              pack_payloads=config.pack_payloads)
 
     cnt_d = bins["fine_ends"] - bins["fine_starts"]           # (n_fine,)
+    dirty_f = cnt_d > 0
     # fine id f = ty*n_fine_x + tx = (supertile id)*GROUPS + lane group
     # (n_fine_x = nsx*GROUPS), so consecutive groups of 8 fine ids ARE the
     # supertiles — reshape groups them exactly
@@ -170,20 +182,23 @@ def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
     dirty_super = jax.lax.sort(keys)[:s_budget]               # ascending
     slot_tile = (dirty_super[:, None] * GROUPS
                  + jnp.arange(GROUPS, dtype=jnp.int32)[None]).reshape(-1)
-    real = slot_tile < n_fine
+    t_cl = jnp.minimum(slot_tile, n_fine - 1)
+    # per-FINE-tile dirtiness: clean fine tiles of a dirty supertile do
+    # NOT participate in the merge (empty slot -> kernel cache passthrough)
+    real = (slot_tile < n_fine) & dirty_f[t_cl]
     s_rank = (jnp.cumsum(dirty_s.astype(jnp.int32))
               - dirty_s.astype(jnp.int32))
     inb_s = dirty_s & (s_rank < s_budget)
-    inb_t = jnp.repeat(inb_s, GROUPS)                         # (n_fine,)
+    inb_t = dirty_f & jnp.repeat(inb_s, GROUPS)               # (n_fine,)
 
-    mix, starts_m, ends_m, total, _ = _merge_core(
-        static, n_fine, cnt_d, bins["fine_starts"], bins["pair_tile"],
-        d_attr, slot_tile, real, inb_t, p_mix)
-    over_pairs = jnp.maximum(total - p_mix, 0)
+    lanes, starts_m, ends_m, total, n_stat_drop = _merge_core(
+        static, n_fine, cnt_d, bins["pair_tile"], bins["pair_lanes"],
+        slot_tile, real, inb_t, p_stat,
+        pack_sort=config.pack_payloads)
     over_super = jnp.maximum(n_dirty - s_budget, 0)
-    tele = jnp.stack([n_dirty, over_super, over_pairs,
+    tele = jnp.stack([n_dirty, over_super, n_stat_drop,
                       bins["n_large_dropped"]]).astype(jnp.int32)
-    return mix, slot_tile, starts_m, ends_m, tele
+    return lanes, slot_tile, starts_m, ends_m, tele
 
 
 def _kernel_sparse_fine(tids_ref, starts_ref, ends_ref, data_hbm,
@@ -191,12 +206,14 @@ def _kernel_sparse_fine(tids_ref, starts_ref, ends_ref, data_hbm,
                         n_super_x: int, n_rows: int, bg):
     """fine_kernel._kernel writing through cache-aliased supertile blocks.
 
-    rgb_in/depth_in are the cached frames the outputs alias — never read
-    (each program overwrites its WHOLE supertile block; clean supertiles
-    are never visited, so they keep their pixels through the alias)."""
-    del rgb_in, depth_in
+    rgb_in/depth_in are the cached frames the outputs alias; lanes of
+    CLEAN fine tiles (empty merged stream) copy the cached block through
+    — it is already resident in VMEM as the aliased input block, so the
+    passthrough costs one select, not a DMA. Clean supertiles are never
+    visited at all and keep their pixels through the alias."""
     _kernel(tids_ref, starts_ref, ends_ref, data_hbm, rgb_ref, depth_ref,
-            n_super_x=n_super_x, n_rows=n_rows, bg=bg)
+            n_super_x=n_super_x, n_rows=n_rows, bg=bg,
+            rgb_in_ref=rgb_in, depth_in_ref=depth_in)
 
 
 def rasterize_fine_sparse(data, slot_ids, starts, ends, rgb_cached,
@@ -291,7 +308,7 @@ def render_incremental_fine(cam_static_w2c: list, dyn_scenes: dict,
     dirty SUPERTILES per instance (each contributes 8 fine-stream slots).
     Returns (rgb (n_cams, B, 3, h, w), depth (n_cams, B, h, w),
     telemetry (n_cams, B, 4) i32 [n_dirty_super, dropped_supertiles,
-    dropped_pairs, binning_dropped]).
+    static_fill_dropped, binning_dropped]).
     """
     assert cam_static_w2c
     cam0, st0, _ = cam_static_w2c[0]
@@ -313,6 +330,10 @@ def render_incremental_fine(cam_static_w2c: list, dyn_scenes: dict,
                                    dyn_scenes, sh_degree, config,
                                    t_budget, p_mix, bg, chunk_b)
     shs = dyn_scenes["shs"] if sh_degree > 0 else dyn_scenes["shs"][:, :, :1]
+    max_pairs_d = (config.fine_pairs_override
+                   or int(config.fine_pairs_factor * n_dyn))
+    max_pairs_d = -(-max_pairs_d // GPR) * GPR
+    cap = p_mix + max_pairs_d                     # merged rows per instance
 
     mixes, sids, starts, ends, teles, caches_rgb, caches_dep = \
         [], [], [], [], [], [], []
@@ -323,8 +344,9 @@ def render_incremental_fine(cam_static_w2c: list, dyn_scenes: dict,
                 _w2c=jnp.asarray(w2c, jnp.float32)):
             pre = preprocess_gaussians(_cam, _w2c, means, scales, quats,
                                        opac, sh, sh_degree)
-            return _merge_one_env_fine(_st, pre, n_dyn, config, t_budget,
-                                       p_mix)
+            lanes, d, s, e, t = _merge_one_env_fine(_st, pre, n_dyn,
+                                                    config, t_budget, p_mix)
+            return pack_attr_major(lanes), d, s, e, t
 
         m, d, s, e, t = jax.vmap(one)(
             dyn_scenes["means3D"], dyn_scenes["scales"],
@@ -339,12 +361,10 @@ def render_incremental_fine(cam_static_w2c: list, dyn_scenes: dict,
         caches_dep.append(jnp.broadcast_to(
             static.depth_cache[None], (B,) + static.depth_cache.shape))
 
-    mix = jnp.concatenate(mixes, axis=0)          # (I, p_mix, ATTR)
+    mix = jnp.concatenate(mixes, axis=0)          # (I, cap/8, 128)
     n_inst = mix.shape[0]
-    data = jax.vmap(
-        lambda m: pack_attr_major([m[:, a] for a in range(10)]))(mix)
-    data = data.reshape(-1, GPR * ATTR)
-    inst_off = (jnp.arange(n_inst, dtype=jnp.int32) * p_mix)[:, None]
+    data = mix.reshape(-1, GPR * ATTR)
+    inst_off = (jnp.arange(n_inst, dtype=jnp.int32) * cap)[:, None]
     starts = jnp.concatenate(starts, axis=0) + inst_off
     ends = jnp.concatenate(ends, axis=0) + inst_off
     slot_ids = jnp.concatenate(sids, axis=0)

@@ -107,14 +107,16 @@ class RasterConfig:
     # (tests/test_precull.py), overflow rides the wrist drop telemetry.
     wrist_precull: str = "auto"        # auto | on | off
     dirty_budget: int = 96             # re-composited tiles per instance
-    # live merge-table bytes per incremental compositor launch: instances
-    # are chunked through merge+composite when (mp_d + p_mix) x ATTR x 4
-    # x instances exceeds this (incremental.merge_chunk_size) — 64 envs x
-    # 2 cams of a 30k-splat LBS'd object is ~22 GB unchunked (> v5e HBM)
-    merge_mem_budget: int = 2 << 30
-    # merged pair budget per instance: bench peaks at ~25 dirty tiles x
-    # ~650 merged pairs; every op in the merge construction scales with
-    # this, and overflow is loud (telemetry lane 2 + stale-tile check)
+    # live merge-sort bytes per incremental compositor launch: instances
+    # are chunked through merge+composite when (mp_d + p_mix) x 13 lanes
+    # x 4 x 2 (+ the packed table) x instances exceeds this
+    # (incremental.merge_chunk_size). The sort-based merge holds ~1/4 the
+    # bytes of the round-4 materialized mix at the same scene, so 4 GB
+    # runs the 130k-gaussian bench headline unchunked on a 16 GB v5e
+    merge_mem_budget: int = 4 << 30
+    # STATIC-FILL budget per instance of the incremental merge (the
+    # dynamic pairs always fit — their binning buffer bounds them);
+    # overflow is loud (telemetry lane 2)
     mix_pairs: int = 16384
 
 

@@ -3,13 +3,20 @@
 # sequence and logs to /tmp/chip_session.log. Run from /root/repo with the
 # default (axon) platform when the tunnel is alive.
 #
-# Round-4 sequence (VERDICT round-3 "next round" items 1/3/4/5):
-#   1. post-calibration dual-size bench (the recorded headline)
-#   2. wide-vs-fine wrist-family A/B at the headline scene
-#   3. full-fine A/B at both scene sizes
-#   4. fresh per-stage traces at the HEADLINE scene (dense LBS object),
-#      incl. a precull off/auto A/B
-#   5. fine-kernel cross-backend check (vs the dense reference)
+# Round-5 sequence (VERDICT round-4 "next round" items 1/3/4/5; advisor
+# round-4 item 4: goldens are RECORDED before any A/B that asserts them,
+# so no legitimate sweep exits with a spurious vs_baseline=0.0):
+#   1. cross-backend checks of the sort-based merge (wide, fine, and the
+#      wide+wrist-fine combination — each validates the exact pipeline a
+#      later throughput run uses)
+#   2. golden recording for the kernel combinations that have none yet
+#      (fine at both sizes; wide+wrist-fine at the headline scene)
+#   3. the recorded headline: default dual-size bench (wide), pixel +
+#      saturation gated
+#   4. wide-vs-fine flagship A/B (full-fine dual-size; wrist-fine at the
+#      headline scene) — every cell pixel-asserted against its own golden
+#   5. fresh per-stage traces at the headline scene (sort-based merge),
+#      incl. a precull off/auto A/B and a physics/mimic attribution trace
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/chip_session.log
@@ -23,13 +30,27 @@ run() {
   echo "--- rc=$rc ---" | tee -a "$LOG"
 }
 
-run python bench.py                                      # 1 (dual-size, calibrated)
-run python bench.py --wrist-kernel fine --gaussians 99000   # 2
-run python bench.py --kernel fine --gaussians 99000      # 3a (no-golden exit ok)
-run python bench.py --kernel fine --gaussians 30000      # 3b
+# --- 1. cross-backend pixel checks (compile-heavy; caches warm the rest) --
+run python bench.py --check                              # wide
+run python bench.py --check --kernel fine                # fine
+run python bench.py --check --wrist-kernel fine --gaussians 99000
+
+# --- 2. record missing goldens (sanctioned: each combo checked above) ----
+run python bench.py --write-golden --kernel fine         # fine, both sizes
+run python bench.py --write-golden --wrist-kernel fine --gaussians 99000
+
+# --- 3. the recorded headline (wide, dual-size, gated) -------------------
+run python bench.py
+
+# --- 4. wide-vs-fine flagship A/B ----------------------------------------
+run python bench.py --kernel fine                        # fine, both sizes
+run python bench.py --wrist-kernel fine --gaussians 99000
+
+# --- 5. traces at the headline scene --------------------------------------
 run python -m real2sim_eval_tpu.experiments.utils.trace_step \
-    --batch 64 --gaussians 99000 --obj-dense 30000       # 4 (headline trace)
+    --batch 64 --gaussians 99000 --obj-dense 30000
 run python -m real2sim_eval_tpu.experiments.utils.trace_step \
     --batch 64 --gaussians 99000 --obj-dense 30000 --precull off
-run python bench.py --check --kernel fine                # 5
+run python -m real2sim_eval_tpu.experiments.utils.trace_step \
+    --batch 64 --gaussians 99000 --obj-dense 30000 --what physics
 echo "chip session complete" | tee -a "$LOG"

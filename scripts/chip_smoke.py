@@ -244,12 +244,13 @@ def smoke_diff(note: str):
     rgb_d, _ = _composite_reference(cam, pre, jnp.asarray(bg, jnp.float32),
                                     bin_w=TILE_W)
     d_fwd = float(jnp.abs(rgb_p - rgb_d).max())
-    g_p = jax.jit(jax.grad(loss_p))(scene[3])
+    grad_p = jax.jit(jax.grad(loss_p))      # one wrapper: time_ms must hit
+    g_p = grad_p(scene[3])                  # its warm cache, not re-trace
     g_d = jax.jit(jax.grad(loss_d))(scene[3])
     d_g = float(jnp.abs(g_p - g_d).max())
     rel = d_g / max(float(jnp.abs(g_d).max()), 1e-6)
     ok = d_fwd < 1e-3 and rel < 1e-2
-    ms = time_ms(lambda: jax.jit(jax.grad(loss_p))(scene[3]))
+    ms = time_ms(lambda: grad_p(scene[3]))
     bank("diff", ok, f"fwd max|rgb|={d_fwd:.2e} grad rel={rel:.2e} "
          f"(80g fwd+bwd)", ms, note)
 

@@ -179,6 +179,34 @@ def test_chunked_matches_unchunked(scene):
     np.testing.assert_array_equal(np.asarray(tele_c), np.asarray(tele_u))
 
 
+def test_incremental_packed_close(scene):
+    """Production default packs 8 of the 10 payload lanes to f16 through
+    the binning AND merge sorts (pack_sort in incremental._merge_core).
+    The merge tie rule is key-order exact either way (keys stay f32/i32);
+    only attr values quantize (~5e-4 relative), so packed pixels must stay
+    within 1/255 rgb of the unpacked exactness path and telemetry must be
+    identical."""
+    import dataclasses
+
+    cam, w2c, static, dyn = scene
+    st = build_static_raster(cam, w2c, static, 0, CFG)
+    rgb_u, dep_u, tele_u = render_incremental(
+        [(cam, st, w2c)], dyn, 0, CFG, t_budget=96, p_mix=8192)
+    packed = dataclasses.replace(CFG, pack_payloads=True)
+    rgb_p, dep_p, tele_p = render_incremental(
+        [(cam, st, w2c)], dyn, 0, packed, t_budget=96, p_mix=8192)
+    np.testing.assert_array_equal(np.asarray(tele_p), np.asarray(tele_u))
+    assert float(jnp.abs(rgb_p - rgb_u).max()) <= 1.0 / 255.0
+    # median depth is DISCONTINUOUS in alpha: a pixel whose transmittance
+    # lands exactly at the T=0.5 crossing can flip between a recorded
+    # depth and the 15.0 default under any quantization (same rule as
+    # test_raster.TestPacked). Rare flips allowed; the bulk holds 1e-2.
+    d_dep = np.abs(np.asarray(dep_p - dep_u))
+    n_flip = int((d_dep > 1e-2).sum())
+    assert n_flip <= max(5, int(2e-4 * d_dep.size)), \
+        (n_flip, float(d_dep.max()))
+
+
 def test_budget_overflow_reported(scene):
     cam, w2c, static, dyn = scene
     st = build_static_raster(cam, w2c, static, 0, CFG)

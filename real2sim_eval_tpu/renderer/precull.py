@@ -49,6 +49,8 @@ is pixel-exact vs the unculled pipeline, not merely close
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -201,6 +203,96 @@ def cull_static_blocks(cam: Camera, w2c_b, static_padded: dict, centers,
         return out, overflow
 
     return jax.vmap(one_env)(jnp.asarray(w2c_b, jnp.float32))
+
+
+def pad_dynamic_scene(scene_b: dict):
+    """Pad a POSED (B, N, ...) dynamic scene dict to a BLOCK multiple
+    along axis 1 (edge-cloned means, zero opacity — same convention as
+    ``pad_static_scene`` for the per-step dynamic side)."""
+    n = scene_b["means3D"].shape[1]
+    n_pad = pad_to_block(n)
+    if n_pad == n:
+        return scene_b
+    pad = n_pad - n
+
+    def padf(v, edge):
+        cfg = [(0, 0)] * v.ndim
+        cfg[1] = (0, pad)
+        return jnp.pad(v, cfg, mode="edge" if edge else "constant")
+
+    return {k: padf(v, edge=(k == "means3D")) for k, v in scene_b.items()}
+
+
+def cull_dynamic_blocks(cam: Camera, w2c_b, dyn_padded: dict,
+                        cap_blocks: int, pad_px: float = PAD_PX):
+    """Per-env block cull of a POSED (B, N, ...) DYNAMIC scene.
+
+    The dynamic splats (LBS'd object + articulated robot) move every
+    step, so unlike the static cull their block spheres cannot be
+    precomputed — but they CAN be re-derived each step from the posed
+    means the LBS already materialized: one O(N) min/max reduce per env
+    (``block_bounds``), trivially cheap next to the preprocess + slot
+    emission + pair sort the cull then shrinks to O(visible). Blocks are
+    contiguous slices of the compose order (object splats are
+    scan-locality-ordered; robot splats group by link), so posed blocks
+    stay spatially tight without a per-step re-sort.
+
+    Same exactness argument as ``cull_static_blocks``: compaction is
+    order-preserving and culled blocks are conservatively off-frustum
+    (zero pairs), so the surviving pair stream is IDENTICAL to the
+    unculled pipeline's. Returns (culled (B, cap*BLOCK, ...) scene,
+    overflow (B,) i32 — visible blocks beyond capacity).
+    """
+    g = dyn_padded["means3D"].shape[1] // BLOCK
+    cap = min(int(cap_blocks), g)
+
+    def one_env(w2c, scene):
+        centers, radii = block_bounds(scene["means3D"], scene["scales"])
+        ok = visible_mask(cam, w2c, centers, radii, pad_px)
+        key = jnp.where(ok, jnp.arange(g, dtype=jnp.int32), jnp.int32(g))
+        sel = jax.lax.sort(key)[:cap]
+        n_vis = jnp.sum(ok.astype(jnp.int32))
+        overflow = jnp.maximum(n_vis - cap, 0)
+        real = sel < g
+        sel_c = jnp.minimum(sel, g - 1)
+
+        out = {}
+        for k in _SCENE_KEYS:
+            v = scene[k].reshape((g, BLOCK) + scene[k].shape[1:])
+            v = jnp.take(v, sel_c, axis=0)
+            out[k] = v.reshape((cap * BLOCK,) + v.shape[2:])
+        op = out["opacities"]
+        mask = jnp.repeat(real, BLOCK)
+        out["opacities"] = jnp.where(
+            mask.reshape((cap * BLOCK,) + (1,) * (op.ndim - 1)), op,
+            jnp.zeros((), op.dtype))
+        return out, overflow
+
+    return jax.vmap(one_env)(jnp.asarray(w2c_b, jnp.float32), dyn_padded)
+
+
+def plan_dynamic_cull(cam_w2c_list, dyn_padded: dict,
+                      pad_px: float = PAD_PX,
+                      margin: float = CULL_MARGIN) -> int:
+    """Measured max visible DYNAMIC blocks over (cameras x envs) at the
+    init pose -> capacity (x margin, rounded to 8, clamped). The margin
+    absorbs in-episode articulation; overflow stays loud through the
+    wrist drop telemetry lane."""
+    g = int(dyn_padded["means3D"].shape[1]) // BLOCK
+
+    def one(w2c, means, scales, _cam=None):
+        centers, radii = block_bounds(means, scales)
+        return jnp.sum(visible_mask(_cam, w2c, centers, radii, pad_px)
+                       .astype(jnp.int32))
+
+    mx = 0
+    for cam, w2c_b in cam_w2c_list:
+        counts = jax.jit(jax.vmap(functools.partial(one, _cam=cam)))(
+            jnp.asarray(w2c_b, jnp.float32), dyn_padded["means3D"],
+            dyn_padded["scales"])
+        mx = max(mx, int(jax.device_get(jnp.max(counts))))
+    cap = int(-(-mx * margin // 8) * 8) + 8
+    return max(8, min(cap, g))
 
 
 def plan_static_cull(cam_w2c_list, centers, radii,

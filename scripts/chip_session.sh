@@ -30,6 +30,10 @@ run() {
   echo "--- rc=$rc ---" | tee -a "$LOG"
 }
 
+# --- 0. re-bank CHIP_LOG correctness evidence for the rewritten merge ----
+run python scripts/chip_smoke.py --items incr_wide,incr_fine \
+    --note "round-5 sort-based merge"
+
 # --- 1. cross-backend pixel checks (compile-heavy; caches warm the rest) --
 run python bench.py --check                              # wide
 run python bench.py --check --kernel fine                # fine

@@ -231,6 +231,159 @@ def test_evaluator_wrist_precull_pixel_exact(tmp_path):
     np.testing.assert_array_equal(outs["on"][1], outs["off"][1])
 
 
+# ---------------------------------------------------------------------------
+# dynamic-side cull (posed per-step block bounds, precull.cull_dynamic_blocks)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wide_dyn_scene():
+    """A DYNAMIC scene wider than one camera's view (two clusters + an
+    off-to-the-side arm-like strand) over a small static backdrop, with
+    per-env pose offsets — the wrist case where part of the dynamic set
+    (robot links behind the camera, object edges) is off-frustum."""
+    rng = np.random.default_rng(23)
+    parts = [
+        _gaussians(rng, 400, np.array([0.0, 0.0, 0.3]), 0.15),
+        _gaussians(rng, 400, np.array([2.8, 0.1, 0.5]), 0.2),
+        _gaussians(rng, 300, np.array([-2.6, -0.2, 0.4]), 0.2),
+    ]
+    dyn1 = {k: jnp.concatenate([p[k] for p in parts], 0) for k in parts[0]}
+    B = 2
+    dyn = {k: jnp.stack([v] * B) for k, v in dyn1.items()}
+    dyn["means3D"] = dyn["means3D"] + jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.15, -0.1, 0.05]], jnp.float32)[:, None]
+    static = _gaussians(rng, 300, np.array([0.0, 0.4, 0.6]), 0.5)
+    return static, dyn
+
+
+def _full_vs_dyn_culled(cam, w2c_b, static, dyn, cap=None):
+    B = dyn["means3D"].shape[0]
+    cfg = RasterConfig(backend="pallas", interpret=True, pack_payloads=False,
+                       max_pairs_factor=8.0, incremental="off")
+    dyn_p = precull.pad_dynamic_scene(dyn)
+    if cap is None:
+        # margin=1.0: exactness must hold at exact measured demand
+        cap = precull.plan_dynamic_cull([(cam, w2c_b)], dyn_p, margin=1.0)
+    dyn_c, overflow = jax.jit(
+        lambda w, d: precull.cull_dynamic_blocks(cam, w, d, cap))(
+        w2c_b, dyn_p)
+    g = dyn_p["means3D"].shape[1] // precull.BLOCK
+    assert cap < g or overflow.max() == 0
+
+    full = {k: jnp.concatenate(
+        [dyn[k], jnp.broadcast_to(static[k][None], (B,) + static[k].shape)],
+        axis=1) for k in static}
+    comp = {k: jnp.concatenate(
+        [dyn_c[k], jnp.broadcast_to(static[k][None],
+                                    (B,) + static[k].shape)], axis=1)
+        for k in static}
+    rgb_f, dep_f = rasterize_batch([(cam, w2c_b)], full, 0, config=cfg)
+    rgb_c, dep_c = rasterize_batch([(cam, w2c_b)], comp, 0, config=cfg)
+    return (rgb_f, dep_f), (rgb_c, dep_c), overflow, cap, g
+
+
+def test_dyn_cull_pixel_exact(wide_dyn_scene):
+    """Culled dynamic blocks must render pixel-identically: compaction
+    preserves relative order (the [dyn; static] tie rule is an argsort
+    over a subsequence) and culled blocks are conservatively
+    off-frustum (zero pairs)."""
+    static, dyn = wide_dyn_scene
+    cam, w2c = _cam(np.array([0.0, 0.0, -1.3]))
+    B = dyn["means3D"].shape[0]
+    w2c_b = jnp.broadcast_to(jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4))
+    (rgb_f, dep_f), (rgb_c, dep_c), _, cap, g = _full_vs_dyn_culled(
+        cam, w2c_b, static, dyn)
+    assert cap < g, (cap, g)     # the cull actually removed work
+    np.testing.assert_array_equal(np.asarray(rgb_c), np.asarray(rgb_f))
+    np.testing.assert_array_equal(np.asarray(dep_c), np.asarray(dep_f))
+
+
+def test_dyn_cull_per_env_poses(wide_dyn_scene):
+    """Per-env wrist poses AND per-env dynamic positions: each env culls
+    against its own posed block bounds."""
+    static, dyn = wide_dyn_scene
+    cam, w2c0 = _cam(np.array([0.0, 0.0, -1.3]))
+    _, w2c1 = _cam(np.array([2.8, 0.0, -1.0]), 12.0)
+    w2c_b = jnp.stack([jnp.asarray(w2c0), jnp.asarray(w2c1)]).astype(
+        jnp.float32)
+    (rgb_f, dep_f), (rgb_c, dep_c), *_ = _full_vs_dyn_culled(
+        cam, w2c_b, static, dyn)
+    np.testing.assert_array_equal(np.asarray(rgb_c), np.asarray(rgb_f))
+    np.testing.assert_array_equal(np.asarray(dep_c), np.asarray(dep_f))
+
+
+def test_dyn_cull_moved_object_stays_exact(wide_dyn_scene):
+    """The spheres re-derive from POSED means each call: translating the
+    dynamic set (LBS motion) must stay exact at the same capacity as long
+    as visibility fits it."""
+    static, dyn = wide_dyn_scene
+    cam, w2c = _cam(np.array([0.0, 0.0, -1.3]))
+    B = dyn["means3D"].shape[0]
+    w2c_b = jnp.broadcast_to(jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4))
+    dyn_m = dict(dyn)
+    dyn_m["means3D"] = dyn["means3D"] + jnp.asarray([0.25, -0.1, 0.08])
+    cap = precull.plan_dynamic_cull(
+        [(cam, w2c_b)], precull.pad_dynamic_scene(dyn))  # production margin
+    (rgb_f, dep_f), (rgb_c, dep_c), overflow, *_ = _full_vs_dyn_culled(
+        cam, w2c_b, static, dyn_m, cap=cap)
+    assert int(np.asarray(overflow).max()) == 0
+    np.testing.assert_array_equal(np.asarray(rgb_c), np.asarray(rgb_f))
+    np.testing.assert_array_equal(np.asarray(dep_c), np.asarray(dep_f))
+
+
+def test_dyn_cull_overflow_is_loud(wide_dyn_scene):
+    static, dyn = wide_dyn_scene
+    cam, w2c = _cam(np.array([0.0, 0.0, -1.3]))
+    w2c_b = jnp.asarray(w2c, jnp.float32)[None]
+    dyn1 = {k: v[:1] for k, v in dyn.items()}
+    dyn_p = precull.pad_dynamic_scene(dyn1)
+    centers, radii = precull.block_bounds(dyn_p["means3D"][0],
+                                          dyn_p["scales"][0])
+    n_vis = int(jnp.sum(precull.visible_mask(cam, w2c, centers, radii)
+                        .astype(jnp.int32)))
+    assert n_vis > 4
+    _, overflow = precull.cull_dynamic_blocks(cam, w2c_b, dyn_p, n_vis - 3)
+    assert int(overflow[0]) == 3
+
+
+@pytest.mark.slow
+def test_evaluator_dyn_cull_pixel_exact(tmp_path):
+    """End-to-end: BatchedEvaluator wrist frames with the DYNAMIC cull
+    forced on (wrist_precull='on', dense object past the size gate) must
+    equal the unculled wrist path bit-for-bit."""
+    from real2sim_eval_tpu.parallel import BatchedEvaluator
+    from real2sim_eval_tpu.testing import (TEST_CAMERAS, full_cfg,
+                                           make_rope_points,
+                                           make_synthetic_scene,
+                                           write_fixture_checkpoint)
+
+    rope = make_rope_points(n=60, length=0.3)
+    write_fixture_checkpoint(tmp_path, "rope_dc", rope, spring_Y=2e3)
+    gs = make_synthetic_scene(tmp_path / "scans", rope_pts=rope,
+                              ik_urdf=None, n_table=4000, n_obj_dense=1200,
+                              table_extent=((-1.5, 2.0), (-2.0, 2.0)))
+    cfg = full_cfg(tmp_path, "rope_dc", gs=gs, cameras=TEST_CAMERAS,
+                   physics_over=dict(dt=2e-4, self_collision=False))
+    outs = {}
+    for mode in ("on", "off"):
+        ev = BatchedEvaluator(
+            cfg, episode_ids=[0, 1],
+            raster_config=RasterConfig(backend="pallas", interpret=True,
+                                       incremental="on",
+                                       pack_payloads=False,
+                                       wrist_precull=mode))
+        info = ev.calibrated["wrist_precull"]
+        if mode == "on":
+            assert info is not None and info["dyn_cap_blocks"], info
+        _, _, wims, wdeps = ev.render()
+        outs[mode] = (np.asarray(wims), np.asarray(wdeps))
+        drops = ev.render_drops()
+        assert sum(drops.values()) == 0, drops
+    np.testing.assert_array_equal(outs["on"][0], outs["off"][0])
+    np.testing.assert_array_equal(outs["on"][1], outs["off"][1])
+
+
 def test_spatial_sort_preserves_multiset(wide_scene):
     static, _ = wide_scene
     st = precull.spatial_sort_scene(static)

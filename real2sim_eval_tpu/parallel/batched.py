@@ -842,6 +842,19 @@ class BatchedEvaluator:
 
         self._mimic = mimic
 
+        # mimic fused into the step: ONE device dispatch per control step
+        # on the velocity-control path (the tunnel's per-call dispatch
+        # floor is ~2-3 ms; two calls per step is pure overhead)
+        _step_inner = self._step
+
+        @jax.jit
+        def step_mimic(state: BatchedState, actions: jax.Array):
+            acts, new_q = mimic(actions, state.qpos7,
+                                state.grippers[:, 13] * 800.0)
+            return _step_inner(state.replace(qpos7=new_q), acts)
+
+        self._step_mimic = step_mimic
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -856,10 +869,9 @@ class BatchedEvaluator:
         dvc = (bool(self.cfg.env.robot.do_velocity_control)
                if do_velocity_control is None else do_velocity_control)
         if dvc:
-            actions, new_q = self._mimic(actions, self.state.qpos7,
-                                         self.state.grippers[:, 13] * 800.0)
-            self.state = self.state.replace(qpos7=new_q)
-        self.state = self._step(self.state, actions)
+            self.state = self._step_mimic(self.state, actions)
+        else:
+            self.state = self._step(self.state, actions)
         return self.state
 
     def compose_scenes(self):

@@ -65,6 +65,28 @@ class TestBatchedEvaluator:
         # all lanes fell toward the table
         assert (x1[:, :, 2].mean(axis=1) <= x0[:, :, 2].mean(axis=1) + 1e-6).all()
 
+    def test_step_mimic_fused_matches_sequence(self, evaluator):
+        """The velocity-control path runs ONE fused dispatch
+        (_step_mimic); it must compute exactly the mimic-then-step
+        sequence (reference semantics: gs_renderer.py:1115-1166 followed
+        by env.step's physics)."""
+        state0 = evaluator.state
+        acts = hold_actions(4)
+        try:
+            fused = evaluator._step_mimic(state0, acts)
+            acts2, new_q = evaluator._mimic(
+                acts, state0.qpos7, state0.grippers[:, 13] * 800.0)
+            manual = evaluator._step(state0.replace(qpos7=new_q), acts2)
+            np.testing.assert_allclose(np.asarray(fused.sm.x),
+                                       np.asarray(manual.sm.x), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(fused.grippers),
+                                       np.asarray(manual.grippers),
+                                       atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(fused.qpos7),
+                                          np.asarray(manual.qpos7))
+        finally:
+            evaluator.state = state0   # module-scoped fixture: restore
+
     def test_batched_render_shapes(self, evaluator):
         obs = evaluator.observations()
         assert obs["images"].shape == (4, 1, 3, 64, 128)

@@ -218,6 +218,20 @@ def test_budget_overflow_reported(scene):
     assert (dropped > 0).any(), "fixture should overflow a 2-tile budget"
 
 
+def test_static_fill_overflow_reported(scene):
+    """p_mix now budgets the STATIC FILL of the merge sort (dynamic pairs
+    are bounded by their binning buffer): an undersized fill budget must
+    report its drop count in telemetry lane 2, never silently
+    under-compose."""
+    cam, w2c, static, dyn = scene
+    st = build_static_raster(cam, w2c, static, 0, CFG)
+    _, _, tele = render_incremental(
+        [(cam, st, w2c)], dyn, 0, CFG, t_budget=96, p_mix=64)
+    dropped = np.asarray(tele[0, :, 2])
+    assert (dropped > 0).any(), \
+        "fixture's dirty-tile static fill should overflow a 64-row budget"
+
+
 def test_clean_tiles_keep_cache(scene):
     """Moving the object must not touch pixels outside its dirty tiles."""
     cam, w2c, static, dyn = scene

@@ -3,7 +3,6 @@
 particle state pkl (the reference ships T_final_state.pkl)."""
 
 import argparse
-import pickle
 
 from .success import (evaluate_episodes, is_pusht_success, load_state,
                       write_success_file, _np)
@@ -17,8 +16,7 @@ def main():
     parser.add_argument("--start_step", type=int, default=1700)
     args = parser.parse_args()
 
-    with open(args.target_state, "rb") as f:
-        target = pickle.load(f)
+    target = load_state(args.target_state)
     x_target = _np(target["renderer"]["x"])
 
     results = evaluate_episodes(

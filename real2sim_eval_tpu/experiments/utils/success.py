@@ -32,9 +32,34 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+class _CPUMappedUnpickler(pickle.Unpickler):
+    """Unpickler that maps torch CUDA storages to CPU.
+
+    The reference dumps state pkls (and ships T_final_state.pkl) with torch
+    tensors still resident on ``cuda:N``; a plain ``pickle.load`` on a machine
+    without CUDA raises from torch's storage reconstruction. Routing the
+    storage-bytes loader through ``torch.load(map_location='cpu')`` makes the
+    reference's real artifacts readable anywhere (verified against the
+    released experiments/utils/T_final_state.pkl)."""
+
+    def find_class(self, module, name):
+        if module == "torch.storage" and name == "_load_from_bytes":
+            import io
+
+            import torch
+
+            return lambda b: torch.load(
+                io.BytesIO(b), map_location="cpu", weights_only=False)
+        return super().find_class(module, name)
+
+
 def load_state(path):
     with open(path, "rb") as f:
-        return pickle.load(f)
+        try:
+            return pickle.load(f)
+        except RuntimeError:  # CUDA-tagged torch storages on a CPU host
+            f.seek(0)
+            return _CPUMappedUnpickler(f).load()
 
 
 def find_episode_dirs(root) -> list[str]:

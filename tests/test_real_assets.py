@@ -1,0 +1,120 @@
+"""Rehearsal against the one REAL released reference artifact available in
+this environment: ``experiments/utils/T_final_state.pkl`` — the T-push task's
+target particle state, dumped by the reference with torch tensors still
+resident on ``cuda:0`` (consumed by its calculate_success_T.py:16-27).
+
+Three things are exercised end to end with real (not fixture) data:
+  1. the CUDA->CPU-mapped unpickler in success.load_state (a plain
+     pickle.load raises RuntimeError on this CUDA-less host);
+  2. the T-push success criterion against the real target cloud;
+  3. the physics core instantiated from the artifact's REAL PhysTwin-derived
+     spring topology (63,100 springs over 2,229 particles, the reference's
+     KD-radius connectivity from phystwin.py:263-286) — stepped without
+     blowing up.
+
+Everything skips cleanly if the reference checkout is absent.
+"""
+
+import numpy as np
+import pytest
+
+from real2sim_eval_tpu.experiments.utils.success import (
+    is_pusht_success, load_state, _np)
+
+REAL_TARGET = "/root/reference/experiments/utils/T_final_state.pkl"
+
+
+@pytest.fixture(scope="module")
+def target():
+    try:
+        return load_state(REAL_TARGET)
+    except FileNotFoundError:
+        pytest.skip("reference checkout (real T_final_state.pkl) unavailable")
+
+
+def test_real_cuda_pkl_loads_and_matches_schema(target):
+    # the reference's state-dict layout (sim/envs/env.py:96-108 runtime
+    # dumps use 'renderer'/'physics'; this older target artifact carries
+    # 'renderer'/'model') — only renderer.x is consumed by either side's
+    # T calculator
+    x = _np(target["renderer"]["x"])
+    assert x.shape == (2229, 3) and x.dtype == np.float32
+    assert np.isfinite(x).all()
+    springs = _np(target["model"]["init_springs"])
+    rest = _np(target["model"]["init_rest_lengths"])
+    spring_y = _np(target["model"]["init_spring_Y"])
+    assert springs.shape == (63100, 2)
+    assert rest.shape == (63100,) and (rest > 0).all()
+    assert spring_y.shape == (63100,) and (spring_y > 0).all()
+    # topology indexes real particles
+    assert springs.min() >= 0 and springs.max() < x.shape[0]
+    # rest lengths bounded by the reference's KD connect radius
+    # (object_radius defaults, phystwin.py:263-286) — sanity of the pairing
+    d = np.linalg.norm(x[springs[:, 0]] - x[springs[:, 1]], axis=-1)
+    assert d.max() < 0.5  # object is ~10 cm scale
+
+
+def test_pusht_success_against_real_target(target):
+    x_target = _np(target["renderer"]["x"])
+    state_init = {"physics": {"static_meshes": []}}
+    exact = {"renderer": {"x": x_target}}
+    assert is_pusht_success(exact, x_target, state_init)
+    # a 10 cm translation puts per-point squared error at 0.01 > 0.002
+    moved = {"renderer": {"x": x_target + np.array([0.1, 0.0, 0.0])}}
+    assert not is_pusht_success(moved, x_target, state_init)
+
+
+@pytest.mark.slow
+def test_real_topology_physics_steps(target):
+    """Build SpringMassParams from the artifact's real spring topology and
+    run a short substep loop: the degree distribution, stiffness range and
+    scale of a REAL PhysTwin model must pass through the neighbor-table
+    formulation without NaNs or explosion."""
+    import jax
+    import jax.numpy as jnp
+
+    from real2sim_eval_tpu.physics.spring_mass import (
+        PhysicsOptions, SpringMassParams, SpringMassState, SubstepControls,
+        make_step_fn)
+    from real2sim_eval_tpu.physics.topology import build_neighbor_tables
+
+    x = _np(target["renderer"]["x"]).astype(np.float32)
+    springs = _np(target["model"]["init_springs"]).astype(np.int32)
+    # the artifact's rest lengths are from the initial configuration; use
+    # current-pose rest lengths so the start state is near equilibrium (we
+    # are testing the machinery, not re-simulating the episode)
+    rest = np.linalg.norm(x[springs[:, 0]] - x[springs[:, 1]],
+                          axis=-1).astype(np.float32)
+    y_log = np.log(_np(target["model"]["init_spring_Y"])).astype(np.float32)
+
+    n = len(x)
+    nbr_idx, nbr_rest, nbr_y = build_neighbor_tables(springs, rest, y_log, n)
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    params = SpringMassParams(
+        springs=jnp.asarray(springs), rest_lengths=f32(rest),
+        spring_Y_log=f32(y_log), masses=jnp.ones(n, jnp.float32),
+        nbr_idx=jnp.asarray(nbr_idx), nbr_rest=f32(nbr_rest),
+        nbr_Y_log=f32(nbr_y),
+        collision_mask=jnp.arange(n, dtype=jnp.int32), rest_x=f32(x),
+        collide_elas=f32(0.5), collide_fric=f32(0.3),
+        collide_eef_elas=f32(0.0), collide_eef_fric=f32(1.0),
+        collide_self_elas=f32(0.5), collide_self_fric=f32(0.3))
+
+    # float the object above the ground plane so ground contact is inert
+    x0 = x - x.min(0) + np.array([0.0, 0.0, 0.05], np.float32)
+    opts = PhysicsOptions(num_substeps=20, self_collision=False, n_fingers=0)
+    step = jax.jit(make_step_fn(opts, has_colliders=False))
+    state = SpringMassState(
+        x=f32(x0), v=jnp.zeros((n, 3), jnp.float32),
+        finger_forces=jnp.zeros((1, 3), jnp.float32))
+    ctrl = SubstepControls(
+        eef_xyz=jnp.zeros(3), eef_vel=jnp.zeros(3), eef_rot=jnp.eye(3),
+        eef_rot_vel=jnp.zeros(3), openness_start=jnp.asarray(1.0),
+        openness_end=jnp.asarray(1.0), dyn_lin_vel=jnp.zeros((1, 3)),
+        dyn_omega=jnp.zeros(3))
+    out = step(params, None, state, ctrl)
+    x1 = np.asarray(out.x)
+    assert np.isfinite(x1).all()
+    # 20 substeps of free fall at dt=5e-5: displacement ~ g*(t^2)/2 ≈ 5e-6 m;
+    # near-equilibrium springs must not amplify that beyond millimetres
+    assert np.abs(x1 - x0).max() < 1e-3

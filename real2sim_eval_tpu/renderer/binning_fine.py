@@ -57,6 +57,7 @@ def bin_gaussians_fine(
     max_tiles_per_gaussian: int = 32,   # budget for the k_large biggest
     max_large: int = 4096,
     pack_payloads: bool = True,  # f16-pack 8 of the 10 sort payload lanes
+    extra_lanes: list | None = None,  # extra (N,) per-gaussian sort payloads
 ):
     """Build fine-tile sorted pair streams with analytic bounds.
 
@@ -67,6 +68,10 @@ def bin_gaussians_fine(
         (supertile-major == row-major fine ids), already cropped to
         max_pairs
       n_pairs / n_pairs_unclamped / n_large_dropped: () i32 telemetry
+      extra_sorted: (only when ``extra_lanes``) the extra per-gaussian
+        lanes duplicated per slot and sorted with the pairs (the packed
+        merge path rides the EXACT depth through here — binning.py's
+        contract)
     """
     xy, radius, valid = pre["xy"], pre["radius"], pre["valid"]
     n = xy.shape[0]
@@ -146,6 +151,9 @@ def bin_gaussians_fine(
     ], axis=-1).astype(jnp.float32)                          # (N, 10)
     pay_src = (pack_attr_lanes(attrs) if pack_payloads
                else [attrs[:, L] for L in range(N_PAY)])
+    n_attr_lanes = len(pay_src)
+    if extra_lanes:
+        pay_src = pay_src + [jnp.asarray(v) for v in extra_lanes]
     aux = jnp.stack([
         x0c.astype(jnp.float32), y0c.astype(jnp.float32),
         w1s.astype(jnp.float32), area1.astype(jnp.float32),
@@ -203,20 +211,24 @@ def bin_gaussians_fine(
         key_s = out_a[0]
         lanes = list(out_a[1:]) + list(out_b[1:])
 
+    extra_s = lanes[n_attr_lanes:]
+    lanes = lanes[:n_attr_lanes]
     slot_total = tile_f.shape[0]
     if slot_total >= max_pairs:
         key_s = key_s[:max_pairs]
         lanes = [v[:max_pairs] for v in lanes]
+        extra_s = [v[:max_pairs] for v in extra_s]
     else:
         pad = max_pairs - slot_total
         key_s = jnp.pad(key_s, (0, pad),
                         constant_values=jnp.uint32(n_fine << rank_bits))
         lanes = [jnp.pad(v, (0, pad)) for v in lanes]
+        extra_s = [jnp.pad(v, (0, pad)) for v in extra_s]
     tiles_sorted = (key_s >> rank_bits).astype(jnp.int32)
     if pack_payloads:
         lanes = unpack_attr_lanes(lanes)   # post-sort: back to 10 f32 lanes
 
-    return {
+    out = {
         "pair_lanes": lanes,
         "pair_tile": tiles_sorted,
         "fine_starts": fine_starts,
@@ -226,3 +238,6 @@ def bin_gaussians_fine(
         "n_large_dropped": (n_rect_dropped + n_crop_dropped
                             ).astype(jnp.int32),
     }
+    if extra_lanes:
+        out["extra_sorted"] = extra_s
+    return out

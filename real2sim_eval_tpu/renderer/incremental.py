@@ -271,7 +271,7 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
 
 def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
                 slot_tile, real, inb_t, p_stat: int,
-                pack_sort: bool = False):
+                pack_sort: bool = False, depth_d_key=None):
     """Tile-size-agnostic merge of dynamic pairs into frozen static streams.
 
     Shared by the wide path (slots = dirty tiles) and the fine-sparse path
@@ -307,6 +307,16 @@ def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
       pack_sort: f16-pack the 8 non-xy payload lanes through the sort
         (production; ~5e-4 relative attr error, order unaffected — the
         keys stay f32/i32). Exactness tests run unpacked.
+      depth_d_key: optional (P_d,) EXACT f32 view depth per dynamic pair
+        for the sort KEY. When the dynamic binning packed its payloads,
+        the depth VALUE lane d_lanes[9] is f16-quantized — keying the
+        merge on it orders quantized dynamic depths against unquantized
+        static depths, flipping near-coplanar dyn/static pairs that the
+        full pipeline (whose rank comes from exact depths BEFORE
+        packing) never flips. Callers on the packed path must ride the
+        exact depth through binning's ``extra_lanes`` and pass it here;
+        the value lane stays quantized (matching the full packed
+        pipeline bitwise).
     Returns (lanes [10 x (p_stat + P_d,)], starts_m, ends_m, total,
     n_stat_dropped).
 
@@ -354,7 +364,8 @@ def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
     t_cl = jnp.minimum(tile_d, n_tiles - 1)
     gate_d = (tile_d < n_tiles) & inb_t[t_cl]
     tile_d_g = jnp.where(gate_d, tile_d, n_tiles)
-    depth_d = jnp.where(gate_d, d_lanes[DEPTH_LANE], jnp.inf)
+    d_key = d_lanes[DEPTH_LANE] if depth_d_key is None else depth_d_key
+    depth_d = jnp.where(gate_d, d_key, jnp.inf)
     flag_d = jnp.arange(p_d, dtype=jnp.int32)
 
     # --- ONE merge sort ----------------------------------------------------
@@ -403,16 +414,21 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
                    or int(config.max_pairs_factor * n_dyn))
     max_pairs_d = -(-max_pairs_d // GPR) * GPR
 
-    # dyn binning may pack payloads (the merge sort's ORDER now comes from
-    # explicit f32/i32 keys, so lane quantization no longer perturbs the
-    # tie rule; exactness tests run with pack_payloads=False throughout)
+    # dyn binning may pack payloads; the merge sort keys on EXACT depths
+    # (packed binning quantizes the depth VALUE lane, so the exact depth
+    # rides the binning sort as an extra payload lane — keying the merge
+    # on the quantized lane flipped near-coplanar dyn/static pairs the
+    # full pipeline never flips: 3.6e-2 rgb error on chip, round 5)
+    pack = config.pack_payloads
     bins = bin_gaussians(pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
                          config.max_tiles_per_gaussian,
                          small_tiles=config.small_tiles,
                          max_large=config.max_large,
-                         pack_payloads=config.pack_payloads,
+                         pack_payloads=pack,
                          mid_tiles=config.mid_tiles,
-                         max_mid=config.max_mid)
+                         max_mid=config.max_mid,
+                         extra_lanes=([pre["depth"].astype(jnp.float32)]
+                                      if pack else None))
 
     # --- dirty tiles, compacted ascending ---------------------------------
     cnt_d = bins["tile_ends"] - bins["tile_starts"]          # (n_tiles,)
@@ -428,7 +444,8 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
     lanes, starts_m, ends_m, total, n_stat_drop = _merge_core(
         static, n_tiles, cnt_d, bins["pair_tile"], bins["pair_lanes"],
         dirty_ids, real, inb_t, p_stat,
-        pack_sort=config.pack_payloads)
+        pack_sort=pack,
+        depth_d_key=bins["extra_sorted"][0] if pack else None)
     over_tiles = jnp.maximum(n_dirty - t_budget, 0)
     tele = jnp.stack([n_dirty, over_tiles, n_stat_drop,
                       bins["n_large_dropped"]]).astype(jnp.int32)

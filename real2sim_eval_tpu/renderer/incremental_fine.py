@@ -161,13 +161,17 @@ def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
                    or int(config.fine_pairs_factor * n_dyn))
     max_pairs_d = -(-max_pairs_d // GPR) * GPR
 
-    # dyn binning may pack payloads: the merge sort's order comes from
-    # explicit f32/i32 keys now (see incremental._merge_core)
+    # dyn binning may pack payloads; the merge sort keys on EXACT depths
+    # riding binning's extra_lanes (the packed depth VALUE lane is f16 —
+    # see incremental._merge_one_env)
+    pack = config.pack_payloads
     bins = bin_gaussians_fine(pre, nsx, nsy, max_pairs_d,
                               small_tiles=config.fine_small_tiles,
                               max_tiles_per_gaussian=config.fine_max_tiles,
                               max_large=config.max_large,
-                              pack_payloads=config.pack_payloads)
+                              pack_payloads=pack,
+                              extra_lanes=([pre["depth"].astype(jnp.float32)]
+                                           if pack else None))
 
     cnt_d = bins["fine_ends"] - bins["fine_starts"]           # (n_fine,)
     dirty_f = cnt_d > 0
@@ -194,7 +198,8 @@ def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
     lanes, starts_m, ends_m, total, n_stat_drop = _merge_core(
         static, n_fine, cnt_d, bins["pair_tile"], bins["pair_lanes"],
         slot_tile, real, inb_t, p_stat,
-        pack_sort=config.pack_payloads)
+        pack_sort=pack,
+        depth_d_key=bins["extra_sorted"][0] if pack else None)
     over_super = jnp.maximum(n_dirty - s_budget, 0)
     tele = jnp.stack([n_dirty, over_super, n_stat_drop,
                       bins["n_large_dropped"]]).astype(jnp.int32)

@@ -314,3 +314,48 @@ def test_batched_incremental_matches_full(tmp_path):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(wdeps_i), np.asarray(wdeps_f),
                                atol=1e-5)
+
+
+def test_packed_merge_bitwise_vs_packed_full(scene):
+    """Production (pack_payloads=True) contract — regression for the
+    round-5 on-chip finding (incremental_golden_pixel_check 3.6e-2): the
+    merge sort must key on EXACT depths (binning extra_lanes), never the
+    f16-quantized depth VALUE lane, or near-coplanar dyn/static pairs
+    order differently than the full pipeline (whose rank is computed from
+    exact depths BEFORE packing). With exact keys the packed incremental
+    path is BITWISE the packed full pipeline on every dirty tile, and
+    clean tiles serve the f32 static cache (exact, strictly closer to the
+    unpacked truth)."""
+    import dataclasses
+
+    cam, w2c, static, dyn = scene
+    cfg_p = dataclasses.replace(CFG, pack_payloads=True)
+    B = dyn["means3D"].shape[0]
+    scenes = {k: jnp.concatenate(
+        [dyn[k], jnp.broadcast_to(static[k][None],
+                                  (B,) + static[k].shape)], axis=1)
+        for k in static}
+    rgb_fp, dep_fp = rasterize_batch([(cam, jnp.broadcast_to(
+        jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))],
+        scenes, 0, config=cfg_p)
+
+    st = build_static_raster(cam, w2c, static, 0, cfg_p)
+    rgb_i, dep_i, tele = render_incremental(
+        [(cam, st, w2c)], dyn, 0, cfg_p, t_budget=96, p_mix=8192)
+    assert (np.asarray(tele[0, :, 1:]) == 0).all(), "no drops expected"
+
+    # dirty tiles: bitwise vs the packed full pipeline. Clean tiles come
+    # from the unpacked static cache, so compare only where the packed
+    # full pipeline agrees with the unpacked one... which is everywhere
+    # within one f16 quantum — assert the tight global bound instead.
+    rgb_f, dep_f = _full_reference(cam, w2c, static, dyn)  # unpacked truth
+    q = float(jnp.abs(rgb_fp[0] - rgb_f[0]).max())         # packing scale
+    d = float(jnp.abs(rgb_i[0] - rgb_fp[0]).max())
+    assert d <= q + 1e-7, (
+        f"packed incremental diverges {d:.2e} from the packed full "
+        f"pipeline (packing-inherent scale {q:.2e}) — merge order broke")
+    # and vs the unpacked truth it must stay at quantization scale too
+    # (the round-5 bug measured 8.1e-3 here at repro scale, 3.56e-2 on
+    # chip; pure value quantization is ~1e-3)
+    d_u = float(jnp.abs(rgb_i[0] - rgb_f[0]).max())
+    assert d_u <= max(2.0 * q, 2e-3), f"{d_u:.2e} vs unpacked truth"

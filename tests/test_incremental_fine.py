@@ -185,3 +185,38 @@ def test_fine_clean_supertiles_keep_cache(scene):
     assert (np.asarray(tele[0, :, 0]) == 0).all()
     np.testing.assert_array_equal(
         np.asarray(rgb_b[0, 0]), np.asarray(st.rgb_cache[:, :H, :W]).clip(0, 1))
+
+
+def test_fine_packed_merge_matches_packed_full(scene):
+    """Production (pack_payloads=True) contract for the fine family —
+    same regression as test_incremental.test_packed_merge_bitwise_vs_
+    packed_full: the merge sort keys on EXACT depths carried through
+    bin_gaussians_fine's extra_lanes, so the packed incremental-fine
+    path stays at f16-quantization distance from the packed full fine
+    pipeline (order identical; values quantized once on either path)."""
+    import dataclasses
+
+    cam, w2c, static, dyn = scene
+    cfg_p = dataclasses.replace(CFG, pack_payloads=True)
+    B = dyn["means3D"].shape[0]
+    scenes = {k: jnp.concatenate(
+        [dyn[k], jnp.broadcast_to(static[k][None],
+                                  (B,) + static[k].shape)], axis=1)
+        for k in static}
+    rgb_fp, dep_fp = rasterize_batch([(cam, jnp.broadcast_to(
+        jnp.asarray(w2c, jnp.float32)[None], (B, 4, 4)))],
+        scenes, 0, config=cfg_p)
+
+    st = build_static_raster_fine(cam, w2c, static, 0, cfg_p)
+    rgb_i, dep_i, tele = render_incremental_fine(
+        [(cam, st, w2c)], dyn, 0, cfg_p, t_budget=32, p_mix=8192)
+    assert (np.asarray(tele[0, :, 1:]) == 0).all(), "no drops expected"
+
+    rgb_f, dep_f = _full_reference(cam, w2c, static, dyn)  # unpacked truth
+    q = float(jnp.abs(rgb_fp[0] - rgb_f[0]).max())         # packing scale
+    d = float(jnp.abs(rgb_i[0] - rgb_fp[0]).max())
+    assert d <= q + 1e-7, (
+        f"packed fine incremental diverges {d:.2e} from the packed full "
+        f"fine pipeline (packing-inherent scale {q:.2e})")
+    d_u = float(jnp.abs(rgb_i[0] - rgb_f[0]).max())
+    assert d_u <= max(2.0 * q, 2e-3), f"{d_u:.2e} vs unpacked truth"

@@ -527,16 +527,14 @@ class BatchedEvaluator:
                 rcfg_wrist = []
                 for (cam_i, w2c0_b), (_, eef2c_i) in zip(wlist0,
                                                          wrist_cams):
-                    culled0, _ = jax.jit(
-                        lambda w, _c=cam_i: pc.cull_static_blocks(
-                            _c, w, st_w, cull_centers, cull_radii,
-                            cull_cap))(w2c0_b)
-                    sc0 = {k: jnp.concatenate([dyn0[k], culled0[k]], axis=1)
-                           for k in dyn0}
                     cams_meas = ([(cam_i, w2c0_b)]
                                  + swept_wlist([(cam_i, eef2c_i)]))
-                    # plan at the width the runtime actually bins over
-                    n_run = sc0["means3D"].shape[1]
+                    # plan at the width the runtime actually bins over —
+                    # statically known: cull_static_blocks compacts to
+                    # min(cap, blocks) * BLOCK rows (no device pass needed)
+                    g_st = st_w["means3D"].shape[0] // pc.BLOCK
+                    n_run = (dyn0["means3D"].shape[1]
+                             + min(cull_cap, g_st) * pc.BLOCK)
                     if use_dcull:
                         n_run = (dyn_cap + cull_cap) * pc.BLOCK
                     rcfg_wrist.append(cal.measure_and_plan(

@@ -916,9 +916,17 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
             doubles the directed-travel budget before a query escapes its
             patch (the patch_escapes telemetry lane): a particle moving
             ballistically stays centered instead of drifting toward the
-            +2-voxel edge. Bitwise-neutral when no escape occurs — trilinear
-            interpolation reads the same global grid cells regardless of
-            which containing patch serves them."""
+            +2-voxel edge. The local-frame transform likewise uses the
+            MID-chunk collider pose, not the chunk-start one — the patch
+            lives in the collider's LOCAL frame, so a sweeping finger
+            (velocity-control mimic) drifts every candidate's local coords
+            by v_collider * k * dt over the chunk; centering halves that
+            drift exactly like the particle-side midpoint does (round-5:
+            chunk-start poses left patch_escapes ~3.3k/env on the envs the
+            randomization grid parks under the sweep). Bitwise-neutral
+            when no escape occurs — trilinear interpolation reads the same
+            global grid cells regardless of which containing patch serves
+            them."""
             half_h = 0.5 * k * opts.dt
             cxs = (jnp.take_along_axis(xs, cand, axis=1)
                    + jnp.take_along_axis(vxs, cand, axis=1) * half_h)
@@ -926,8 +934,9 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
                    + jnp.take_along_axis(vys, cand, axis=1) * half_h)
             czs = (jnp.take_along_axis(zs, cand, axis=1)
                    + jnp.take_along_axis(vzs, cand, axis=1) * half_h)
+            s_mid = jnp.minimum(s0 + k // 2, opts.num_substeps - 1)
             Tinv0 = jax.lax.dynamic_slice_in_dim(
-                Tinv_all, s0, 1, axis=1)[:, 0]                # (Bp, C, 4, 4)
+                Tinv_all, s_mid, 1, axis=1)[:, 0]             # (Bp, C, 4, 4)
             p = jnp.stack([cxs, cys, czs], axis=-1)           # (Bp, PM, 3)
             # highest: at TPU default matmul precision the MXU rounds
             # the ~0.5 m positions to bf16 (~2 mm) — larger than the

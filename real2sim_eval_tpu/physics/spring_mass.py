@@ -72,7 +72,11 @@ class PhysicsOptions:
     n_fingers: int = 2               # dynamic colliders (2 gripper / 1 pusher / 0)
     ground_height: float = 0.0
     max_self_pairs: int = 2048       # compacted candidate-pair budget per env
-    max_contact_particles: int = 256  # particles tracked against colliders
+    # particles tracked against colliders. 512 = measured flagship demand
+    # (355 in-reach at the violent randomization cells, round-5 chip run)
+    # x 1.4 margin, LANE-aligned; the budget stays loud either way (the
+    # dropped-count telemetry gates the bench)
+    max_contact_particles: int = 512
     # slot-form self-collision budget (max_self_particles * max_self_slots
     # keeps the pair form's total capacity, restructured per-particle)
     max_self_particles: int = 256

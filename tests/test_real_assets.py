@@ -30,6 +30,10 @@ def target():
         return load_state(REAL_TARGET)
     except FileNotFoundError:
         pytest.skip("reference checkout (real T_final_state.pkl) unavailable")
+    except ModuleNotFoundError as e:
+        # the artifact pickles torch tensors; torch is an optional, lazily
+        # imported dependency everywhere else in this repo — skip, not error
+        pytest.skip(f"real-asset unpickle needs an absent module: {e}")
 
 
 def test_real_cuda_pkl_loads_and_matches_schema(target):

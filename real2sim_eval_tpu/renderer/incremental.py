@@ -270,7 +270,7 @@ def build_static_raster(cam: Camera, w2c, scene: dict, sh_degree: int,
 
 
 def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
-                slot_tile, real, inb_t, p_stat: int,
+                slot_tile, real, gate_d, p_stat: int,
                 pack_sort: bool = False, depth_d_key=None):
     """Tile-size-agnostic merge of dynamic pairs into frozen static streams.
 
@@ -303,7 +303,11 @@ def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
         >= n_tiles).
       real: (n_slots,) slot participates (tile valid AND, on the fine
         path, actually dirty).
-      inb_t: (n_tiles,) tile belongs to an in-budget, participating slot.
+      gate_d: (P_d,) pair participates (its tile is valid AND belongs to
+        an in-budget slot). Callers derive it from the tile-sorted pair
+        stream itself (segment-boundary cumsum) — a per-pair gather into
+        a per-tile table was 0.5 s/step at the flagship scene (round-5
+        trace, 28M pair rows x 2 fixed cams x 64 envs).
       pack_sort: f16-pack the 8 non-xy payload lanes through the sort
         (production; ~5e-4 relative attr error, order unaffected — the
         keys stay f32/i32). Exactness tests run unpacked.
@@ -361,8 +365,6 @@ def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
     flag_s = jnp.where(in_use, big + s_idx, big + big // 2)
 
     # --- dynamic side (already sorted by [tile | depth rank]) --------------
-    t_cl = jnp.minimum(tile_d, n_tiles - 1)
-    gate_d = (tile_d < n_tiles) & inb_t[t_cl]
     tile_d_g = jnp.where(gate_d, tile_d, n_tiles)
     d_key = d_lanes[DEPTH_LANE] if depth_d_key is None else depth_d_key
     depth_d = jnp.where(gate_d, d_key, jnp.inf)
@@ -438,12 +440,20 @@ def _merge_one_env(static: StaticRaster, pre: dict, n_dyn: int,
                      jnp.int32(n_tiles))
     dirty_ids = jax.lax.sort(keys)[:t_budget]
     real = dirty_ids < n_tiles
-    d_rank = jnp.cumsum(dirty.astype(jnp.int32)) - dirty.astype(jnp.int32)
-    inb_t = dirty & (d_rank < t_budget)
+    # per-pair in-budget gate straight from the tile-sorted stream: the
+    # k-th DISTINCT tile id in the stream is dirty rank k (every dirty
+    # tile holds >= 1 pair, sentinels sort last), so a segment-boundary
+    # cumsum replaces the per-pair dirty-rank gather
+    pt = bins["pair_tile"]
+    is_real = pt < n_tiles
+    new_seg = jnp.concatenate([is_real[:1],
+                               (pt[1:] != pt[:-1]) & is_real[1:]])
+    rank_p = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    gate_d = is_real & (rank_p < t_budget)
 
     lanes, starts_m, ends_m, total, n_stat_drop = _merge_core(
         static, n_tiles, cnt_d, bins["pair_tile"], bins["pair_lanes"],
-        dirty_ids, real, inb_t, p_stat,
+        dirty_ids, real, gate_d, p_stat,
         pack_sort=pack,
         depth_d_key=bins["extra_sorted"][0] if pack else None)
     over_tiles = jnp.maximum(n_dirty - t_budget, 0)

@@ -190,14 +190,23 @@ def _merge_one_env_fine(static: StaticRasterFine, pre: dict, n_dyn: int,
     # per-FINE-tile dirtiness: clean fine tiles of a dirty supertile do
     # NOT participate in the merge (empty slot -> kernel cache passthrough)
     real = (slot_tile < n_fine) & dirty_f[t_cl]
-    s_rank = (jnp.cumsum(dirty_s.astype(jnp.int32))
-              - dirty_s.astype(jnp.int32))
-    inb_s = dirty_s & (s_rank < s_budget)
-    inb_t = dirty_f & jnp.repeat(inb_s, GROUPS)               # (n_fine,)
+    # per-pair in-budget gate from the fine-tile-sorted stream: fine ids
+    # ascend, so supertile ids (fine // GROUPS) ascend too and the k-th
+    # DISTINCT supertile in the stream is dirty-supertile rank k (every
+    # dirty supertile holds >= 1 pair, sentinels sort last). A pair's own
+    # fine tile is dirty by construction, so supertile-rank < s_budget is
+    # the whole gate (see _merge_core's gate_d contract).
+    pt = bins["pair_tile"]
+    sp = pt // GROUPS
+    is_real = pt < n_fine
+    new_seg = jnp.concatenate([is_real[:1],
+                               (sp[1:] != sp[:-1]) & is_real[1:]])
+    srank_p = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    gate_d = is_real & (srank_p < s_budget)
 
     lanes, starts_m, ends_m, total, n_stat_drop = _merge_core(
         static, n_fine, cnt_d, bins["pair_tile"], bins["pair_lanes"],
-        slot_tile, real, inb_t, p_stat,
+        slot_tile, real, gate_d, p_stat,
         pack_sort=pack,
         depth_d_key=bins["extra_sorted"][0] if pack else None)
     over_super = jnp.maximum(n_dirty - s_budget, 0)

@@ -58,6 +58,9 @@ SUP_W = 128
 FINE_W = SUP_W // GROUPS          # 16 px
 KSEG = 64                         # pairs DMA'd per stream per segment
 SEGR = KSEG // GPR + 1            # +1 covers the alignment phase
+# total bytes of scalar-prefetch tables allowed per pallas_call (SMEM is
+# ~1 MB/core and also holds kernel scalars; see rasterize_fine_batch)
+SMEM_PREFETCH_BUDGET = 192_000
 
 
 def pack_attr_major(lanes: list[jax.Array]) -> jax.Array:
@@ -268,8 +271,12 @@ def rasterize_fine_batch(data, fine_starts, fine_ends, n_super_x, n_super_y,
     n_groups = n_fine // GROUPS
     # prefetch scalars live in SMEM: split the instance axis when the
     # (I, n_fine) i32 tables outgrow the budget; every launch references
-    # the full data buffer through global offsets
-    max_inst = max(int(0.3e6) // (n_fine * 4), 1)
+    # the full data buffer through global offsets. The budget bounds the
+    # SUM of all three prefetch arrays (order/starts/ends) — round 5: a
+    # per-array 0.3 MB bound let 3 x 295 KB of tables through at the
+    # 848x480 wrist scale (n_fine=3360, 22 instances) and faulted the TPU
+    # worker; ~1 MB SMEM must also hold the grid scalars
+    max_inst = max(SMEM_PREFETCH_BUDGET // (3 * n_fine * 4), 1)
     if n_inst > max_inst:
         outs = [rasterize_fine_batch(
             data, fine_starts[i:i + max_inst], fine_ends[i:i + max_inst],

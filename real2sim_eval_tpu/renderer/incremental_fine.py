@@ -252,8 +252,10 @@ def rasterize_fine_sparse(data, slot_ids, starts, ends, rgb_cached,
     bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
 
     # SMEM budget: split the instance axis when the prefetch tables
-    # outgrow it (same guard as rasterize_fine_batch)
-    max_inst = max(int(0.1e6) // (n_slots * 4), 1)
+    # outgrow it (same guard as rasterize_fine_batch — the bound covers
+    # the SUM of the three slot/start/end arrays)
+    from .fine_kernel import SMEM_PREFETCH_BUDGET
+    max_inst = max(SMEM_PREFETCH_BUDGET // (3 * n_slots * 4), 1)
     if n_inst > max_inst:
         outs = [rasterize_fine_sparse(
             data, slot_ids[i:i + max_inst], starts[i:i + max_inst],

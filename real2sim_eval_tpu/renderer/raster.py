@@ -323,30 +323,68 @@ def _rasterize_batch_fine(cam_w2c_list, scenes, sh_degree, bg, config,
                     bins["n_large_dropped"])
         return per_env
 
-    datas, starts, ends, drops = [], [], [], []
-    for cam, w2c_b in cam_w2c_list:
-        d, s, e, dr = jax.vmap(one(cam))(
-            jnp.asarray(w2c_b, jnp.float32), scenes["means3D"],
-            scenes["scales"], scenes["rotations"], scenes["opacities"], shs)
-        datas.append(d)
-        starts.append(s)
-        ends.append(e)
-        drops.append(dr)
-    data = jnp.concatenate(datas, axis=0)        # (I, n_rows, 128)
-    n_rows = data.shape[1]
-    data = data.reshape(-1, data.shape[-1])
-    starts = jnp.concatenate(starts, axis=0)     # (I, n_fine)
-    ends = jnp.concatenate(ends, axis=0)
-    inst_off = (jnp.arange(starts.shape[0], dtype=jnp.int32)
-                * (n_rows * GPR))[:, None]
-    starts = starts + inst_off
-    ends = ends + inst_off
+    # memory-bounded env chunking (merge_mem_budget, same contract as
+    # incremental.merge_chunk_size): each instance holds its packed
+    # attr-major table (ATTR*4 B/pair) plus the binning sort transient
+    # (~14 lanes f32, double-buffered) live at once — at wrist-fine
+    # headline scale (~1M pairs x 64 envs) the unchunked table alone is
+    # several GB and OOM'd a 16 GB v5e (round-5 chip session). lax.map
+    # serializes chunk tables while each chunk still fills the chip.
+    from .fine_kernel import ATTR as FATTR
+    per_inst = max_pairs * (FATTR * 4 + 14 * 4 * 2)
+    chunk_b = max(1, min(B, int(config.merge_mem_budget)
+                         // (max(per_inst, 1) * max(len(cam_w2c_list), 1))))
 
-    rgb, depth = rasterize_fine_batch(data, starts, ends, n_sup_x, n_sup_y,
-                                      bg=bg, interpret=config.interpret)
+    def run_cam(cam, w2c_b, scn):
+        """Full pipeline for ONE camera over (Bc, ...) scenes; returns
+        (rgb (Bc,3,Hp,Wp), depth (Bc,Hp,Wp), drops (Bc,))."""
+        d, s, e, dr = jax.vmap(one(cam))(
+            jnp.asarray(w2c_b, jnp.float32), scn["means3D"], scn["scales"],
+            scn["rotations"], scn["opacities"], scn["shs"])
+        n_rows = d.shape[1]
+        data = d.reshape(-1, d.shape[-1])
+        off = (jnp.arange(d.shape[0], dtype=jnp.int32)
+               * (n_rows * GPR))[:, None]
+        rgb_c, dep_c = rasterize_fine_batch(
+            data, s + off, e + off, n_sup_x, n_sup_y,
+            bg=bg, interpret=config.interpret)
+        return rgb_c, dep_c, dr
+
+    scn_in = {"means3D": scenes["means3D"], "scales": scenes["scales"],
+              "rotations": scenes["rotations"],
+              "opacities": scenes["opacities"], "shs": shs}
+    rgbs, deps, drops = [], [], []
+    for cam, w2c_b in cam_w2c_list:
+        if chunk_b >= B:
+            r, dp, dr = run_cam(cam, w2c_b, scn_in)
+        else:
+            n_chunks = -(-B // chunk_b)
+            Bp = n_chunks * chunk_b
+
+            def pad(v):
+                if Bp == B:
+                    return v
+                return jnp.concatenate(
+                    [v, jnp.broadcast_to(v[:1], (Bp - B,) + v.shape[1:])],
+                    axis=0)
+
+            xs = {k: pad(v).reshape((n_chunks, chunk_b) + v.shape[1:])
+                  for k, v in scn_in.items()}
+            xs["w2c"] = pad(jnp.asarray(w2c_b, jnp.float32)).reshape(
+                n_chunks, chunk_b, 4, 4)
+            r, dp, dr = jax.lax.map(
+                lambda c, _cam=cam: run_cam(_cam, c.pop("w2c"), c), xs)
+            r = r.reshape((Bp,) + r.shape[2:])[:B]
+            dp = dp.reshape((Bp,) + dp.shape[2:])[:B]
+            dr = dr.reshape(-1)[:B]
+        rgbs.append(r)
+        deps.append(dp)
+        drops.append(dr)
+
+    rgb = jnp.clip(jnp.stack(rgbs)[:, :, :, :h, :w], 0.0, 1.0)
+    depth = jnp.stack(deps)[:, :, :h, :w]
     n_cams = len(cam_w2c_list)
-    rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(n_cams, B, 3, h, w)
-    depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
+    assert rgb.shape == (n_cams, B, 3, h, w)
     if return_drops:
         return rgb, depth, jnp.stack(drops, axis=0).astype(jnp.int32)
     return rgb, depth

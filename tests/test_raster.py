@@ -269,6 +269,50 @@ class TestPallasBackendEquivalence:
         assert n_flip <= max(5, int(2e-4 * d_dep.size)), \
             (n_flip, float(d_dep.max()))
 
+    def test_fine_batch_env_chunking_exact(self):
+        """The memory-bounded env chunking of the full fine pipeline
+        (raster._rasterize_batch_fine, merge_mem_budget) must be
+        invisible: per-env pipelines are independent, lax.map only
+        serializes them (round-5: the unchunked wrist-fine table OOM'd
+        at headline scale). Tolerance is f32-ulp scale, not bitwise —
+        XLA fuses the vmapped preprocess differently at batch 5 vs
+        batch 1, reassociating a few adds (~1e-7 observed)."""
+        from real2sim_eval_tpu.renderer.raster import rasterize_batch
+
+        rng = np.random.default_rng(13)
+        B, n = 5, 60
+        cam = simple_cam(w=256, h=64, f=80.0)
+        w2c_b = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        w2c_b[:, 0, 3] = np.linspace(-0.1, 0.1, B)
+        scenes = {
+            "means3D": jnp.asarray(np.stack([np.stack([
+                rng.uniform(-1, 1, n), rng.uniform(-0.4, 0.4, n),
+                rng.uniform(0.5, 3.0, n)], -1) for _ in range(B)]),
+                jnp.float32),
+            "scales": jnp.asarray(rng.uniform(0.01, 0.08, (B, n, 3)),
+                                  jnp.float32),
+            "rotations": jnp.asarray(np.tile([1.0, 0, 0, 0], (B, n, 1)),
+                                     jnp.float32),
+            "opacities": jnp.asarray(rng.uniform(0.1, 1.0, (B, n)),
+                                     jnp.float32),
+            "shs": jnp.asarray(rng.uniform(-0.5, 0.5, (B, n, 1, 3)),
+                               jnp.float32),
+        }
+        base = dict(backend="pallas", interpret=True, kernel="fine",
+                    pack_payloads=False, fine_max_tiles=128,
+                    fine_pairs_factor=80.0)
+        full = rasterize_batch([(cam, jnp.asarray(w2c_b))], scenes, 0,
+                               config=RasterConfig(**base), return_drops=True)
+        # a 1-byte budget forces chunk_b=1 (B chunks incl. a padded tail
+        # when B isn't divisible)
+        chunked = rasterize_batch([(cam, jnp.asarray(w2c_b))], scenes, 0,
+                                  config=RasterConfig(**base,
+                                                      merge_mem_budget=1),
+                                  return_drops=True)
+        for a, b in zip(full, chunked):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
     def test_wide_image_padding_cropped(self):
         cam = simple_cam(w=200, h=50)  # not multiples of tile dims
         means, scales, quats, opac, shs = single_gaussian((0, 0, 1.0), 0.1)

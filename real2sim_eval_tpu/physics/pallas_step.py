@@ -203,6 +203,7 @@ class _Static:
     C: int                      # total colliders (>= 1 placeholder)
     inv_spacing: tuple          # per-collider python floats
     origin: tuple               # per-collider (3,) python floats
+    dims: tuple                 # per-collider TRUE grid shape (3,) ints
     M: int                      # self-collision particle budget
     Ks: int                     # self-collision slots per particle
     PM: int                     # contact particle budget
@@ -381,9 +382,12 @@ def _kernel(st: _Static, scal_ref,
                       + rows[:, 10:11] * qz + rows[:, 11:12])
                 isp = st.inv_spacing[c]
                 og = st.origin[c]
-                ux = ((lx - og[0]) * isp) - porg_ref[0, c * 3 + 0]
-                uy = ((ly - og[1]) * isp) - porg_ref[0, c * 3 + 1]
-                uz = ((lz - og[2]) * isp) - porg_ref[0, c * 3 + 2]
+                gx = (lx - og[0]) * isp           # GLOBAL grid voxel coords
+                gy = (ly - og[1]) * isp
+                gz = (lz - og[2]) * isp
+                ux = gx - porg_ref[0, c * 3 + 0]  # patch-local voxel coords
+                uy = gy - porg_ref[0, c * 3 + 1]
+                uz = gz - porg_ref[0, c * 3 + 2]
                 # a point outside its patch is no-contact (1e3), matching
                 # sdf_query's outside-grid sentinel. In-grid escapes only
                 # happen on >1-voxel moves within a chunk: either a deep
@@ -393,16 +397,27 @@ def _kernel(st: _Static, scal_ref,
                 hi = 3.0 - 1e-4
                 esc = ((ux < 0.0) | (ux > hi) | (uy < 0.0) | (uy > hi)
                        | (uz < 0.0) | (uz > hi))
-                # telemetry gate: an escape only signals over-budget TRAVEL
-                # when the query left the patch by less than a patch width.
-                # Candidates far from THIS collider (selected for another
-                # one) live miles outside their clamped patch every substep
-                # — no-contact either way, and counting them buries the
-                # real signal (3 colliders x 667 substeps x all candidates).
+                # telemetry gate: an escape signals a genuinely MISSED
+                # contact only when the query point is INSIDE the global
+                # grid (sdf.py:164-166's sentinel region): patch origins
+                # are clamped into the grid (build_patches), so an in-reach
+                # candidate parked just OUTSIDE the grid sits permanently
+                # outside its clamped edge patch — but a global sdf_query
+                # would return the outside-grid no-contact sentinel for it
+                # too, identical verdict (round-5: these benign edge
+                # candidates read as a constant 2-5 escapes/substep on the
+                # randomization cells that park the object at the gripper
+                # sweep's grid fringe). The near-miss distance qualifier
+                # keeps cross-collider candidates (selected for another
+                # collider, miles outside this one's patch) out of the lane.
+                nx_c, ny_c, nz_c = st.dims[c]
+                in_grid = ((gx >= 0.0) & (gx <= nx_c - 1)
+                           & (gy >= 0.0) & (gy <= ny_c - 1)
+                           & (gz >= 0.0) & (gz <= nz_c - 1))
                 over = jnp.maximum(jnp.maximum(
                     jnp.maximum(-ux, ux - hi), jnp.maximum(-uy, uy - hi)),
                     jnp.maximum(-uz, uz - hi))
-                esc_near = esc & (over < 3.0)
+                esc_near = esc & in_grid & (over < 3.0)
                 ux = jnp.clip(ux, 0.0, hi)
                 uy = jnp.clip(uy, 0.0, hi)
                 uz = jnp.clip(uz, 0.0, hi)
@@ -737,9 +752,13 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
         grid_origin = jnp.asarray(origin, jnp.float32)         # (C, 3)
         grid_isp = jnp.asarray(inv_sp, jnp.float32)            # (C,)
 
+    dims_st = (tuple(tuple(int(v) for v in d) for d in dims_true)
+               if has_colliders else ((2, 2, 2),))
+
     def mk_static(k):
         return _Static(opts=opts, K=k, Np=Np, offsets=offsets, n_f=n_f, C=C,
-                       inv_spacing=inv_sp, origin=origin, M=M, Ks=Ks, PM=PM,
+                       inv_spacing=inv_sp, origin=origin, dims=dims_st,
+                       M=M, Ks=Ks, PM=PM,
                        has_colliders=has_colliders,
                        self_collision=bool(opts.self_collision))
 
@@ -866,11 +885,10 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
             combo_meta = {"dims": dims_true, "inv_spacing": grid_isp,
                           "origin": grid_origin}
 
-            def cand_one(x_e, v_e, ctrl_e, T0_e):
+            def cand_one(x_e, v_e, T_all_e):
                 return select_contact_particles(opts, combo_meta, x_e, v_e,
-                                                ctrl_e, T0_e)
-            cand, cand_ok, n_drop_ct = jax.vmap(cand_one)(
-                xb, vb, ctrl_p, T_all[:, 0])
+                                                T_all_e)
+            cand, cand_ok, n_drop_ct = jax.vmap(cand_one)(xb, vb, T_all)
             tele = tele.at[:, 2].set(n_drop_ct)
             cand, cand_ok = _pad_ids(cand, cand_ok, PM, N)
             cd_hi = (cand // LANE).astype(jnp.int32)
@@ -928,12 +946,30 @@ def make_pallas_step_fn(opts: PhysicsOptions, params: SpringMassParams,
             global grid cells regardless of which containing patch serves
             them."""
             half_h = 0.5 * k * opts.dt
+            # travel clip (round 5): particles in ACTIVE contact carry
+            # violently oscillating velocities (the impulse flips v every
+            # substep) while their positions stay pinned at the surface —
+            # an unclipped x + v*h/2 predictor flings their patch out of
+            # the grid and every in-grid query of the chunk then escapes
+            # (probe: 4.7k in-grid escapes/12 steps on the grasp cells).
+            # Clip the predicted travel to the patch's own half-coverage
+            # (~1.5 voxels of the finest grid): oscillating particles stay
+            # start-centered, and sustained motion below ~1.5 voxels per
+            # half-chunk (~9 m/s at 5 mm voxels, far above robot speeds)
+            # is still covered. Bitwise-neutral whenever no escape occurs
+            # (the patch center only selects WHICH patch serves the same
+            # global cells).
+            lim = 1.5 / float(max(inv_sp))
+            half_hc = jnp.float32(half_h)
             cxs = (jnp.take_along_axis(xs, cand, axis=1)
-                   + jnp.take_along_axis(vxs, cand, axis=1) * half_h)
+                   + jnp.clip(jnp.take_along_axis(vxs, cand, axis=1)
+                              * half_hc, -lim, lim))
             cys = (jnp.take_along_axis(ys, cand, axis=1)
-                   + jnp.take_along_axis(vys, cand, axis=1) * half_h)
+                   + jnp.clip(jnp.take_along_axis(vys, cand, axis=1)
+                              * half_hc, -lim, lim))
             czs = (jnp.take_along_axis(zs, cand, axis=1)
-                   + jnp.take_along_axis(vzs, cand, axis=1) * half_h)
+                   + jnp.clip(jnp.take_along_axis(vzs, cand, axis=1)
+                              * half_hc, -lim, lim))
             s_mid = jnp.minimum(s0 + k // 2, opts.num_substeps - 1)
             Tinv0 = jax.lax.dynamic_slice_in_dim(
                 Tinv_all, s_mid, 1, axis=1)[:, 0]             # (Bp, C, 4, 4)

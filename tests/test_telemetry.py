@@ -73,10 +73,10 @@ class TestContactTelemetry:
             "inv_spacing": jnp.asarray([box.inv_spacing]),
             "origin": jnp.asarray([box.origin]),
         }
-        ctrl = null_controls()
-        T0 = jnp.eye(4)[None]
+        T_all = jnp.broadcast_to(jnp.eye(4)[None, None],
+                                 (opts.num_substeps, 1, 4, 4))
         cand, ok, dropped = select_contact_particles(
-            opts, combo, jnp.asarray(x), jnp.zeros((n, 3)), ctrl, T0)
+            opts, combo, jnp.asarray(x), jnp.zeros((n, 3)), T_all)
         assert int(dropped) == n - 16
 
 

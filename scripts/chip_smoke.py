@@ -59,12 +59,21 @@ def sync(x):
 
 
 def time_ms(fn, iters=5):
+    """Steady-state per-iteration ms (VERDICT round-4 weak 6: a single
+    warmup did not reliably absorb the tunnel's remote-compile cost —
+    cold-cache smoke runs still banked seconds-scale `ms` for the same
+    kernel that times ~13 ms warm). Two timed loops, each ended by a
+    true device_get sync; the SECOND loop is by construction past every
+    compile/autotune path, and is what gets banked."""
     sync(fn())                      # warmup / compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    sync(r)
-    return (time.perf_counter() - t0) / iters * 1e3
+    per_iter = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn()
+        sync(r)
+        per_iter.append((time.perf_counter() - t0) / iters * 1e3)
+    return per_iter[-1]
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,8 @@ from .preprocess import preprocess_gaussians
 from .raster import (ALPHA_MAX, ALPHA_MIN, T_EPS, TILE_H, TILE_W,
                      RasterConfig, gather_pair_attrs)
 from .tile_kernel import (ATTR, GPR, rasterize_tiles_batch,
-                          rasterize_tiles_sparse)
+                          rasterize_tiles_sparse,
+                          rasterize_tiles_sparse_merge)
 
 DEPTH_LANE = 9   # depth lives in lane 9 of the packed pair attrs
 
@@ -474,6 +475,137 @@ def pack_lanes_wide(lanes) -> jax.Array:
     return jax.lax.reshape(a, (p // GPR, GPR * ATTR), dimensions=(1, 2, 0))
 
 
+def _render_incremental_stream(cam_static_w2c: list, dyn_scenes: dict,
+                               sh_degree: int, config: RasterConfig,
+                               t_budget: int = 96, p_mix: int = 0,
+                               bg=(0.0, 0.0, 0.0)):
+    """Stream-merge incremental render: bin ONLY the dynamic gaussians,
+    then two-pointer-merge each dirty tile's static and dynamic segments
+    INSIDE the sparse compositor (tile_kernel.rasterize_tiles_sparse_merge)
+    — no fill compaction, no merge sort, no materialized merged table,
+    and no static-fill budget to saturate (``p_mix`` is ignored).
+    Pixel contract identical to the sort path: bitwise vs the full
+    pipeline when payloads are unpacked; the telemetry's static-fill
+    lane is constantly 0 (nothing to drop)."""
+    cam0, st0, _ = cam_static_w2c[0]
+    h, w = cam0.height, cam0.width
+    ntx, nty = st0.n_tiles_x, st0.n_tiles_y
+    n_tiles = ntx * nty
+    B = dyn_scenes["means3D"].shape[0]
+    n_dyn = dyn_scenes["means3D"].shape[1]
+    bg = tuple(float(b) for b in np.asarray(bg).reshape(-1))
+    max_pairs_d = (config.max_pairs_override
+                   or int(config.max_pairs_factor * n_dyn))
+    max_pairs_d = -(-max_pairs_d // GPR) * GPR
+
+    n_inst_all = B * len(cam_static_w2c)
+    per_inst = max_pairs_d * (ATTR * 4 + 4)     # packed rows + depth plane
+    chunk_b = max(1, (int(config.merge_mem_budget) // max(per_inst, 1))
+                  // len(cam_static_w2c))
+    if chunk_b < B:
+        return chunked_incremental(_render_incremental_stream,
+                                   cam_static_w2c, dyn_scenes, sh_degree,
+                                   config, t_budget, p_mix, bg, chunk_b)
+
+    shs = dyn_scenes["shs"] if sh_degree > 0 else dyn_scenes["shs"][:, :, :1]
+    pack = config.pack_payloads
+
+    # frozen static tables of all cameras, concatenated once
+    data_s = jnp.concatenate(
+        [st.data_pairs.reshape(-1, GPR * ATTR) for _, st, _ in
+         cam_static_w2c], axis=0)
+    dep_s = jnp.concatenate(
+        [st.pair_depth.reshape(-1, GPR) for _, st, _ in cam_static_w2c],
+        axis=0)
+    cam_off = np.cumsum(
+        [0] + [st.data_pairs.shape[0] for _, st, _ in cam_static_w2c])
+
+    datas_d, deps_d, dids, s_st_l, s_en_l, d_st_l, d_en_l, teles = \
+        [], [], [], [], [], [], [], []
+    for ci, (cam, static, w2c) in enumerate(cam_static_w2c):
+        assert (cam.height, cam.width) == (h, w)
+
+        def one(means, scales, quats, opac, sh, _cam=cam, _st=static,
+                _off=int(cam_off[ci]),
+                _w2c=jnp.asarray(w2c, jnp.float32)):
+            pre = preprocess_gaussians(_cam, _w2c, means, scales, quats,
+                                       opac, sh, sh_degree)
+            bins = bin_gaussians(
+                pre, ntx, nty, TILE_W, TILE_H, max_pairs_d,
+                config.max_tiles_per_gaussian,
+                small_tiles=config.small_tiles,
+                max_large=config.max_large, pack_payloads=pack,
+                mid_tiles=config.mid_tiles, max_mid=config.max_mid,
+                extra_lanes=([pre["depth"].astype(jnp.float32)]
+                             if pack else None))
+            cnt_d = bins["tile_ends"] - bins["tile_starts"]
+            dirty = cnt_d > 0
+            n_dirty = jnp.sum(dirty.astype(jnp.int32))
+            keys = jnp.where(dirty, jnp.arange(n_tiles, dtype=jnp.int32),
+                             jnp.int32(n_tiles))
+            dirty_ids = jax.lax.sort(keys)[:t_budget]
+            real = dirty_ids < n_tiles
+            t_safe = jnp.minimum(dirty_ids, n_tiles - 1)
+            zero = jnp.zeros_like(t_safe)
+            d_st = jnp.where(real, bins["tile_starts"][t_safe], zero)
+            d_en = jnp.where(real, bins["tile_ends"][t_safe], zero)
+            s_st = jnp.where(real, _st.starts[t_safe] + _off, zero)
+            s_en = jnp.where(real, _st.ends[t_safe] + _off, zero)
+            # exact f32 view depth per pair for the in-kernel merge
+            # compare (the packed value lane is f16-quantized — see
+            # _merge_one_env's depth_d_key note)
+            exact = (bins["extra_sorted"][0] if pack
+                     else bins["pair_lanes"][DEPTH_LANE])
+            exact = jnp.where(bins["pair_tile"] < n_tiles, exact, jnp.inf)
+            over = jnp.maximum(n_dirty - t_budget, 0)
+            tele = jnp.stack([n_dirty, over, jnp.int32(0),
+                              bins["n_large_dropped"]]).astype(jnp.int32)
+            return (pack_lanes_wide(bins["pair_lanes"]),
+                    exact.reshape(-1, GPR),
+                    dirty_ids, s_st, s_en, d_st, d_en, tele)
+
+        out = jax.vmap(one)(
+            dyn_scenes["means3D"], dyn_scenes["scales"],
+            dyn_scenes["rotations"], dyn_scenes["opacities"], shs)
+        datas_d.append(out[0])
+        deps_d.append(out[1])
+        dids.append(out[2])
+        s_st_l.append(out[3])
+        s_en_l.append(out[4])
+        d_st_l.append(out[5])
+        d_en_l.append(out[6])
+        teles.append(out[7])
+
+    data_d = jnp.concatenate(datas_d, axis=0)     # (I, P_d/8, 128)
+    dep_d = jnp.concatenate(deps_d, axis=0)       # (I, P_d/8, 8)
+    n_inst = data_d.shape[0]
+    inst_off = (jnp.arange(n_inst, dtype=jnp.int32) * max_pairs_d)[:, None]
+    d_starts = jnp.concatenate(d_st_l, axis=0) + inst_off
+    d_ends = jnp.concatenate(d_en_l, axis=0) + inst_off
+    s_starts = jnp.concatenate(s_st_l, axis=0)
+    s_ends = jnp.concatenate(s_en_l, axis=0)
+    dirty_ids = jnp.concatenate(dids, axis=0)
+
+    caches_rgb = jnp.concatenate(
+        [jnp.broadcast_to(st.rgb_cache[None], (B,) + st.rgb_cache.shape)
+         for _, st, _ in cam_static_w2c], axis=0)
+    caches_dep = jnp.concatenate(
+        [jnp.broadcast_to(st.depth_cache[None], (B,) + st.depth_cache.shape)
+         for _, st, _ in cam_static_w2c], axis=0)
+
+    rgb, depth = rasterize_tiles_sparse_merge(
+        data_s, dep_s, data_d.reshape(-1, GPR * ATTR),
+        dep_d.reshape(-1, GPR), dirty_ids, s_starts, s_ends, d_starts,
+        d_ends, caches_rgb, caches_dep, ntx, nty, chunk=config.chunk,
+        bg=bg, interpret=config.interpret)
+
+    n_cams = len(cam_static_w2c)
+    rgb = jnp.clip(rgb[:, :, :h, :w], 0.0, 1.0).reshape(n_cams, B, 3, h, w)
+    depth = depth[:, :h, :w].reshape(n_cams, B, h, w)
+    tele = jnp.stack(teles, axis=0)
+    return rgb, depth, tele
+
+
 def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
                        sh_degree: int, config: RasterConfig,
                        t_budget: int = 96, p_mix: int = 32768,
@@ -492,6 +624,10 @@ def render_incremental(cam_static_w2c: list, dyn_scenes: dict,
        static_fill_dropped, binning_dropped])
     """
     assert cam_static_w2c
+    if config.merge_kernel == "stream":
+        return _render_incremental_stream(cam_static_w2c, dyn_scenes,
+                                          sh_degree, config, t_budget,
+                                          p_mix, bg)
     cam0, st0, _ = cam_static_w2c[0]
     h, w = cam0.height, cam0.width
     ntx, nty = st0.n_tiles_x, st0.n_tiles_y

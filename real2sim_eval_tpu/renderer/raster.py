@@ -118,6 +118,14 @@ class RasterConfig:
     # dynamic pairs always fit — their binning buffer bounds them);
     # overflow is loud (telemetry lane 2)
     mix_pairs: int = 16384
+    # incremental merge strategy (wide kernel): "sort" materializes the
+    # merged pair table via one keyed lax.sort of [static fill; dynamic
+    # pairs] (incremental._merge_core); "stream" merges the two
+    # depth-sorted streams inside the sparse compositor kernel with two
+    # pointers (tile_kernel._composite_merge_scoped) — no merged table,
+    # no sort, no static-fill budget (mix_pairs unused), cost scales
+    # with pairs actually composited instead of budgeted volume
+    merge_kernel: str = "sort"         # sort | stream
 
 
 def rasterize(cam: Camera, w2c, means3d, scales, quats, opacities, shs,

@@ -327,6 +327,329 @@ def rasterize_tiles_batch_t(data, tile_starts, tile_ends, n_tiles_x,
     return rgb, depth, t_fin
 
 
+def _composite_merge_scoped(data_s_hbm, dep_s_hbm, data_d_hbm, dep_d_hbm,
+                            s_start, s_end, d_start, d_end, px, py,
+                            chunk_rows, n_rows_s, n_rows_d, bg,
+                            rgb_ref, depth_ref):
+    """Fused two-pointer merge + front-to-back composite of ONE tile.
+
+    Walks the tile's frozen STATIC pair segment [s_start, s_end) of
+    ``data_s_hbm`` and its per-step DYNAMIC segment [d_start, d_end) of
+    ``data_d_hbm`` — both already depth-sorted — in merged depth order
+    WITHOUT materializing the merged stream: per composited pair, compare
+    the two head depths (scalar SMEM loads), select the head row, blend,
+    advance that stream's pointer. This replaces the global keyed
+    ``lax.sort`` merge (incremental.py _merge_core) whose cost scaled
+    with the BUDGETED fill+pair volume (~2 ns x 9 lanes per slot); here
+    cost scales with the pairs actually composited, there is no static
+    fill budget to saturate, and the tie rule (dynamic pair before an
+    equal-depth static pair: ``d <= s``) reproduces the full pipeline's
+    stable depth-argsort order bitwise.
+
+    Head rows ride shift registers: each stream keeps its current packed
+    row with the head pair's 16 attr lanes rolled to lanes 0..15; a
+    consume rolls by -ATTR, and every GPR-th consume reloads a fresh row
+    from the stream's VMEM chunk scratch (chunks DMA'd on demand as the
+    pointer crosses them — strictly sequential, each chunk fetched once).
+    Exact merge depths ride separate (rows, GPR) f32 planes DMA'd to SMEM
+    (dep lane 9 of the packed rows may be f16-quantized by the binning
+    payload packing; keying the merge on quantized depths flips
+    near-coplanar pairs the full pipeline never flips — see
+    incremental._merge_one_env).
+    """
+    chunk_g = chunk_rows * GPR
+    total = (s_end - s_start) + (d_end - d_start)
+
+    def chunk_base(p, n_rows):      # clamped row base for pair index p
+        return jnp.clip(p // GPR, 0, jnp.maximum(n_rows - chunk_rows, 0))
+
+    def scoped(scr_s, scr_d, sdep_s, sdep_d, sem):
+        def fetch(cb_s, cb_d):
+            cps = [pltpu.make_async_copy(
+                data_s_hbm.at[pl.ds(cb_s, chunk_rows), :], scr_s, sem.at[0]),
+                pltpu.make_async_copy(
+                dep_s_hbm.at[pl.ds(cb_s, chunk_rows), :], sdep_s, sem.at[1]),
+                pltpu.make_async_copy(
+                data_d_hbm.at[pl.ds(cb_d, chunk_rows), :], scr_d, sem.at[2]),
+                pltpu.make_async_copy(
+                dep_d_hbm.at[pl.ds(cb_d, chunk_rows), :], sdep_d, sem.at[3])]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+
+        cb_s0 = chunk_base(s_start, n_rows_s)
+        cb_d0 = chunk_base(d_start, n_rows_d)
+        fetch(cb_s0, cb_d0)
+
+        zero_row = jnp.zeros((1, TILE_W), jnp.float32)
+        true_row = zero_row == 0.0      # (1,128) all-true
+
+        def sel_row(pred, a, b):
+            # scalar-pred select on (1, W) rows via a lane-broadcast mask
+            # (a bare scalar/(1,1) pred select is the both-dims broadcast
+            # Mosaic cannot lower — see row_body's `a(i)` note)
+            return jnp.where(pred & true_row, a, b)
+
+        def init_reg(scr, p, cb):
+            r = scr[pl.ds(jnp.clip(p // GPR - cb, 0, chunk_rows - 1), 1), :]
+            jm = p % GPR
+            out = r
+            for j in range(1, GPR):
+                out = sel_row(jm == j, jnp.roll(r, -ATTR * j, axis=1), out)
+            return out
+
+        reg_s0 = init_reg(scr_s, s_start, cb_s0)
+        reg_d0 = init_reg(scr_d, d_start, cb_d0)
+
+        def take_one(k, st):
+            (si, di, cb_s, cb_d, reg_s, reg_d, T, Cr, Cg, Cb, D, done) = st
+            ds_h = jnp.where(
+                si < s_end,
+                sdep_s[jnp.clip(si - cb_s * GPR, 0, chunk_g - 1) // GPR,
+                       si % GPR], jnp.inf)
+            dd_h = jnp.where(
+                di < d_end,
+                sdep_d[jnp.clip(di - cb_d * GPR, 0, chunk_g - 1) // GPR,
+                       di % GPR], jnp.inf)
+            take_d = dd_h <= ds_h
+            row = sel_row(take_d, reg_d, reg_s)
+            in_range = k < total
+
+            def a(i):
+                # lane-only broadcast; the add blocks the (1,1)->(8,128)
+                # both-dims broadcast Mosaic cannot lower (see row_body)
+                return row[:, i:i + 1] + zero_row
+
+            dx = a(0) - px
+            dy = a(1) - py
+            power = (-0.5 * (a(2) * dx * dx + a(4) * dy * dy)
+                     - a(3) * dx * dy)
+            alpha = jnp.minimum(ALPHA_MAX, a(5) * jnp.exp(power))
+            alpha = jnp.where((power <= 0.0) & in_range, alpha, 0.0)
+            alpha_ok = alpha >= ALPHA_MIN
+            test_T = T * (1.0 - alpha)
+            would_done = alpha_ok & (test_T < T_EPS)
+            contrib = alpha_ok & (~would_done) & (done < 0.5)
+            aT = jnp.where(contrib, alpha * T, 0.0)
+            Cr = Cr + aT * a(6)
+            Cg = Cg + aT * a(7)
+            Cb = Cb + aT * a(8)
+            D = jnp.where(contrib & (T > 0.5) & (test_T < 0.5), a(9), D)
+            T = jnp.where(contrib, test_T, T)
+            done = jnp.maximum(done, jnp.where(would_done, 1.0, 0.0))
+
+            # ---- advance the consumed stream --------------------------
+            si2 = jnp.where(take_d, si, si + 1)
+            di2 = jnp.where(take_d, di + 1, di)
+            # chunk refill: only ever needed when the head row advances
+            # (si2 % GPR == 0) past the scratch window; sequential, so
+            # each stream's chunks are fetched exactly once per tile
+            ref_s = (~take_d) & (si2 < s_end) & \
+                (si2 // GPR >= cb_s + chunk_rows)
+            ref_d = take_d & (di2 < d_end) & \
+                (di2 // GPR >= cb_d + chunk_rows)
+            cb_s2 = jnp.where(ref_s, chunk_base(si2, n_rows_s), cb_s)
+            cb_d2 = jnp.where(ref_d, chunk_base(di2, n_rows_d), cb_d)
+
+            @pl.when(ref_s)
+            def _():
+                cps = [pltpu.make_async_copy(
+                    data_s_hbm.at[pl.ds(chunk_base(si2, n_rows_s),
+                                        chunk_rows), :], scr_s, sem.at[0]),
+                    pltpu.make_async_copy(
+                    dep_s_hbm.at[pl.ds(chunk_base(si2, n_rows_s),
+                                       chunk_rows), :], sdep_s, sem.at[1])]
+                for c in cps:
+                    c.start()
+                for c in cps:
+                    c.wait()
+
+            @pl.when(ref_d)
+            def _():
+                cps = [pltpu.make_async_copy(
+                    data_d_hbm.at[pl.ds(chunk_base(di2, n_rows_d),
+                                        chunk_rows), :], scr_d, sem.at[2]),
+                    pltpu.make_async_copy(
+                    dep_d_hbm.at[pl.ds(chunk_base(di2, n_rows_d),
+                                       chunk_rows), :], sdep_d, sem.at[3])]
+                for c in cps:
+                    c.start()
+                for c in cps:
+                    c.wait()
+
+            fresh_s = scr_s[pl.ds(jnp.clip(si2 // GPR - cb_s2, 0,
+                                           chunk_rows - 1), 1), :]
+            fresh_d = scr_d[pl.ds(jnp.clip(di2 // GPR - cb_d2, 0,
+                                           chunk_rows - 1), 1), :]
+            reg_s = sel_row(
+                (~take_d) & (si2 % GPR == 0), fresh_s,
+                sel_row(take_d, reg_s, jnp.roll(reg_s, -ATTR, axis=1)))
+            reg_d = sel_row(
+                take_d & (di2 % GPR == 0), fresh_d,
+                sel_row(take_d, jnp.roll(reg_d, -ATTR, axis=1), reg_d))
+            return (si2, di2, cb_s2, cb_d2, reg_s, reg_d,
+                    T, Cr, Cg, Cb, D, done)
+
+        def cond(carry):
+            k, st = carry[0], carry[1:]
+            T, done = st[6], st[11]
+            return (k < total) & (jnp.max(T * (1.0 - done)) >= T_EPS)
+
+        def body(carry):
+            k, st = carry[0], tuple(carry[1:])
+            # GPR merged pairs per iteration: amortizes the loop/early-
+            # term overhead exactly like row_body's 8-pair unroll
+            for j in range(GPR):
+                st = take_one(k + j, st)
+            return (k + GPR,) + st
+
+        shape = (TILE_H, TILE_W)
+        init = (jnp.int32(0), s_start, d_start, cb_s0, cb_d0, reg_s0, reg_d0,
+                jnp.ones(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.full(shape, MEDIAN_DEPTH_DEFAULT, jnp.float32),
+                jnp.zeros(shape, jnp.float32))
+        out = jax.lax.while_loop(cond, body, init)
+        T, Cr, Cg, Cb, D = out[7], out[8], out[9], out[10], out[11]
+
+        rgb_ref[0, 0] = Cr + T * bg[0]
+        rgb_ref[0, 1] = Cg + T * bg[1]
+        rgb_ref[0, 2] = Cb + T * bg[2]
+        depth_ref[0] = D
+
+    pl.run_scoped(
+        scoped,
+        scr_s=pltpu.VMEM((chunk_rows, GPR * ATTR), jnp.float32),
+        scr_d=pltpu.VMEM((chunk_rows, GPR * ATTR), jnp.float32),
+        sdep_s=pltpu.SMEM((chunk_rows, GPR), jnp.float32),
+        sdep_d=pltpu.SMEM((chunk_rows, GPR), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((4,)),
+    )
+
+
+def _kernel_sparse_merge(dids_ref, ss_ref, se_ref, ds_ref, de_ref,
+                         data_s_hbm, dep_s_hbm, data_d_hbm, dep_d_hbm,
+                         rgb_in, depth_in, rgb_ref, depth_ref, *,
+                         n_tiles_x: int, n_tiles: int, chunk_rows: int,
+                         n_rows_s: int, n_rows_d: int, bg):
+    """Stream-merge dirty-tile compositor: program g re-composites the
+    tile named by dids_ref[g] by two-pointer-merging its static segment
+    [ss, se) with its dynamic segment [ds, de). Sentinel ids (>= n_tiles)
+    land on the padded junk tile row."""
+    del rgb_in, depth_in          # alias sources; never read in-kernel
+    g = pl.program_id(0)
+    tid = dids_ref[g]
+    t = jnp.where(tid < n_tiles, tid, 0)
+    ty = t // n_tiles_x
+    tx = t % n_tiles_x
+
+    px = (tx * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          ).astype(jnp.float32)
+    py = (ty * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          ).astype(jnp.float32)
+
+    _composite_merge_scoped(data_s_hbm, dep_s_hbm, data_d_hbm, dep_d_hbm,
+                            ss_ref[g], se_ref[g], ds_ref[g], de_ref[g],
+                            px, py, chunk_rows, n_rows_s, n_rows_d, bg,
+                            rgb_ref, depth_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
+                                             "chunk", "bg", "interpret"))
+def rasterize_tiles_sparse_merge(data_s, dep_s, data_d, dep_d, dirty_ids,
+                                 s_starts, s_ends, d_starts, d_ends,
+                                 rgb_cached, depth_cached, n_tiles_x,
+                                 n_tiles_y, chunk, bg, interpret=False):
+    """Incremental compositor, stream-merge variant: re-render ONLY the
+    dirty tiles of each instance on top of cached frames by merging each
+    tile's frozen static pair segment with its per-step dynamic segment
+    inside the kernel (no materialized merged table, no fill budget).
+
+    Args:
+      data_s: (rows_s, 128) packed STATIC pair table (all cameras'
+        frozen tables concatenated; 8 pairs x 16 lanes per row).
+      dep_s: (rows_s, GPR) f32 EXACT view depth per static pair (the
+        merge-compare plane; row-major match with data_s).
+      data_d: (rows_d, 128) packed DYNAMIC pair tables (instances
+        concatenated, each instance's segment row-aligned).
+      dep_d: (rows_d, GPR) f32 exact dynamic pair depths.
+      dirty_ids: (I, T_budget) i32 tile ids; >= n_tiles are sentinels.
+      s_starts/s_ends: (I, T_budget) GLOBAL pair offsets into data_s per
+        dirty tile (static ends already saturation-truncated).
+      d_starts/d_ends: (I, T_budget) GLOBAL pair offsets into data_d.
+      rgb_cached/depth_cached: as rasterize_tiles_sparse (incl. junk row).
+    Returns (rgb, depth) of the cached shapes (caller crops).
+    """
+    n_inst, t_budget = dirty_ids.shape
+    chunk_rows = max(chunk // GPR, 8)
+
+    def pad_rows(a, d):
+        n = a.shape[0]
+        if n % chunk_rows or n < chunk_rows:
+            pad = max(chunk_rows - n, (-n) % chunk_rows)
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)),
+                        constant_values=jnp.float32(jnp.inf))
+        return a, d
+
+    data_s, dep_s = pad_rows(data_s, dep_s)
+    data_d, dep_d = pad_rows(data_d, dep_d)
+    n_rows_s = data_s.shape[0]
+    n_rows_d = data_d.shape[0]
+    n_tiles = n_tiles_x * n_tiles_y
+    h_pad = n_tiles_y * TILE_H
+    w_pad = n_tiles_x * TILE_W
+    assert rgb_cached.shape == (n_inst, 3, h_pad + TILE_H, w_pad)
+    assert depth_cached.shape == (n_inst, h_pad + TILE_H, w_pad)
+
+    def out_iy(g, d):
+        t = d[g]
+        return jnp.where(t < n_tiles, t // n_tiles_x, n_tiles_y)
+
+    def out_ix(g, d):
+        t = d[g]
+        return jnp.where(t < n_tiles, t % n_tiles_x, 0)
+
+    kernel = functools.partial(_kernel_sparse_merge, n_tiles_x=n_tiles_x,
+                               n_tiles=n_tiles, chunk_rows=chunk_rows,
+                               n_rows_s=n_rows_s, n_rows_d=n_rows_d, bg=bg)
+    rgb_spec = pl.BlockSpec(
+        (1, 3, TILE_H, TILE_W),
+        lambda g, d, ss, se, ds, de: (g // t_budget, 0,
+                                      out_iy(g, d), out_ix(g, d)))
+    depth_spec = pl.BlockSpec(
+        (1, TILE_H, TILE_W),
+        lambda g, d, ss, se, ds, de: (g // t_budget,
+                                      out_iy(g, d), out_ix(g, d)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_inst * t_budget,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  rgb_spec, depth_spec],
+        out_specs=[rgb_spec, depth_spec],
+    )
+    rgb, depth = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(rgb_cached.shape, jnp.float32),
+            jax.ShapeDtypeStruct(depth_cached.shape, jnp.float32),
+        ],
+        # operand numbering includes the 5 scalar-prefetch args
+        input_output_aliases={9: 0, 10: 1},
+        interpret=interpret,
+    )(dirty_ids.reshape(-1), s_starts.reshape(-1), s_ends.reshape(-1),
+      d_starts.reshape(-1), d_ends.reshape(-1), data_s, dep_s, data_d,
+      dep_d, rgb_cached, depth_cached)
+    return rgb, depth
+
+
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y",
                                              "chunk", "bg", "interpret"))
 def rasterize_tiles_sparse(data, dirty_ids, starts, ends, rgb_cached,

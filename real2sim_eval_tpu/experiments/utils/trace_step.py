@@ -166,6 +166,9 @@ def main():
     ap.add_argument("--precull", default="auto",
                     choices=("auto", "on", "off"),
                     help="wrist static pre-cull (A/B: trace off vs auto)")
+    ap.add_argument("--merge-kernel", default="sort",
+                    choices=("sort", "stream"),
+                    help="incremental merge variant (bench --merge-kernel)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__),
@@ -182,7 +185,8 @@ def main():
     ev = bench.build_evaluator(args.batch,
                                args.gaussians or bench.N_TABLE_SMALL,
                                n_obj_dense=args.obj_dense,
-                               wrist_precull=args.precull)
+                               wrist_precull=args.precull,
+                               merge_kernel=args.merge_kernel)
     print(f"evaluator built in {time.time() - t0:.0f}s", flush=True)
 
     B = args.batch

@@ -180,8 +180,17 @@ def bin_gaussians(
         if sel is None:
             at, au, ps = attrs, aux, pay_src
         else:
-            at, au = attrs[sel], aux[sel]       # (k_large, ...) gathers
-            ps = [v[sel] for v in pay_src]
+            at, au = attrs[sel], aux[sel]       # two (k, .) row gathers
+            # the attr payload lanes are DERIVED from attrs, so re-pack the
+            # gathered rows instead of gathering each payload lane — the
+            # 6-7 per-lane (k,) gathers were 203 ms/step at the headline
+            # scene (round-5 trace, this line). pack_f16_lane on identical
+            # f32 inputs is bitwise-identical, so the sorted pair stream
+            # (and every golden) is unchanged. Only the extra lanes
+            # (exact-depth ride-alongs) still gather.
+            ps = (pack_attr_lanes(at) if pack_payloads
+                  else [at[:, L] for L in range(N_PAY)])
+            ps = ps + [v[sel] for v in pay_src[n_attr_lanes:]]
         xx0 = au[:, 0].astype(jnp.int32)[None, :]
         yy0 = au[:, 1].astype(jnp.int32)[None, :]
         rw = au[:, 2].astype(jnp.int32)

@@ -361,7 +361,13 @@ def _merge_core(static, n_tiles: int, cnt_d, tile_d, d_lanes,
     in_use = (pos < jnp.minimum(total_s, p_stat)) & (s_idx >= 0)
     s_cl = jnp.clip(s_idx, 0, p_s - 1)
     rows_s = jnp.where(in_use[:, None], static.data_pairs[s_cl], 0.0)
-    tile_s = jnp.where(in_use, static.pair_tile[s_cl], n_tiles)
+    # fill-position tile ids by the SAME seeded-cummax (slot_tile is
+    # ascending over real slots, exactly like a_slot): the per-position
+    # pair_tile gather this replaces was 109 ms/step at the headline
+    # scene (round-5 trace) for one payload lane
+    seeded_t = jnp.full((p_stat,), -big, jnp.int32).at[seed_idx].max(
+        jnp.where(real, t_safe, -big), mode="drop")
+    tile_s = jnp.where(in_use, jax.lax.cummax(seeded_t), n_tiles)
     depth_s = jnp.where(in_use, rows_s[:, DEPTH_LANE], jnp.inf)
     flag_s = jnp.where(in_use, big + s_idx, big + big // 2)
 
